@@ -1,0 +1,163 @@
+"""Python API over the native rANS coder + uniform bit-packing.
+
+Interface parity (role, not bytes): compressai's BufferedRansEncoder /
+RansDecoder used at /root/reference/model/compression.py:163-262, and the
+torchac uniform-CDF hyper-latent coding at /root/reference/utils/ckbd.py:117-141
+(14 bits/symbol for a 16384-entry codebook — here done with exact bit packing,
+which is what a uniform-CDF arithmetic coder degenerates to).
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .build import load_library
+
+
+def _as_i32(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a), dtype=np.int32)
+
+
+def _ptr_i32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class CdfTable:
+    """Immutable container for the quantized CDF set used by the coder."""
+
+    def __init__(self, quantized_cdf, cdf_length, offset):
+        self.cdf = _as_i32(quantized_cdf)
+        self.length = _as_i32(cdf_length).reshape(-1)
+        self.offset = _as_i32(offset).reshape(-1)
+        assert self.cdf.ndim == 2
+        assert self.cdf.shape[0] == self.length.shape[0] == self.offset.shape[0]
+
+    @property
+    def ncdfs(self) -> int:
+        return self.cdf.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.cdf.shape[1]
+
+
+class BufferedRansEncoder:
+    """Collects (symbols, indexes) pairs; encodes everything on flush."""
+
+    def __init__(self):
+        self._symbols: list[np.ndarray] = []
+        self._indexes: list[np.ndarray] = []
+
+    def encode_with_indexes(self, symbols, indexes) -> None:
+        s = _as_i32(symbols).reshape(-1)
+        i = _as_i32(indexes).reshape(-1)
+        if s.shape != i.shape:
+            raise ValueError("symbols/indexes length mismatch")
+        self._symbols.append(s)
+        self._indexes.append(i)
+
+    def flush(self, table: CdfTable) -> bytes:
+        symbols = (
+            np.concatenate(self._symbols) if self._symbols else np.zeros(0, np.int32)
+        )
+        indexes = (
+            np.concatenate(self._indexes) if self._indexes else np.zeros(0, np.int32)
+        )
+        self._symbols, self._indexes = [], []
+        return rans_encode(symbols, indexes, table)
+
+
+def rans_encode(symbols, indexes, table: CdfTable) -> bytes:
+    lib = load_library()
+    s = _as_i32(symbols).reshape(-1)
+    i = _as_i32(indexes).reshape(-1)
+    n = s.shape[0]
+    capacity = max(n * 8 + 64, 1024)
+    for _ in range(4):
+        out = np.empty(capacity, dtype=np.uint8)
+        nbytes = lib.rans_encode_with_indexes(
+            _ptr_i32(s), _ptr_i32(i), n,
+            _ptr_i32(table.cdf), _ptr_i32(table.length), _ptr_i32(table.offset),
+            table.ncdfs, table.max_len,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), capacity,
+        )
+        if nbytes >= 0:
+            return out[:nbytes].tobytes()
+        if nbytes == -2:
+            raise ValueError("index out of range in rans_encode")
+        capacity *= 4
+    raise RuntimeError("rans_encode: capacity growth failed")
+
+
+class RansDecoder:
+    """Persistent-stream decoder: set_stream once, decode_stream repeatedly."""
+
+    def __init__(self):
+        self._handle = None
+        self._lib = load_library()
+
+    def set_stream(self, stream: bytes) -> None:
+        self.close()
+        buf = np.frombuffer(stream, dtype=np.uint8)
+        buf = np.ascontiguousarray(buf)
+        self._buf = buf  # keep alive
+        self._handle = self._lib.rans_decoder_new(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.shape[0]
+        )
+
+    def decode_stream(self, indexes, table: CdfTable) -> np.ndarray:
+        if self._handle is None:
+            raise RuntimeError("set_stream must be called first")
+        i = _as_i32(indexes).reshape(-1)
+        out = np.empty(i.shape[0], dtype=np.int32)
+        rc = self._lib.rans_decode_stream(
+            self._handle, _ptr_i32(i), i.shape[0],
+            _ptr_i32(table.cdf), _ptr_i32(table.length), _ptr_i32(table.offset),
+            table.ncdfs, table.max_len, _ptr_i32(out),
+        )
+        if rc != 0:
+            raise ValueError(f"rans_decode_stream failed rc={rc}")
+        return out
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.rans_decoder_free(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def rans_decode(stream: bytes, indexes, table: CdfTable) -> np.ndarray:
+    dec = RansDecoder()
+    dec.set_stream(stream)
+    out = dec.decode_stream(indexes, table)
+    dec.close()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Uniform coder for the VQ hyper-latent indices (bits/symbol = ceil(log2 K)).
+# ---------------------------------------------------------------------------
+def pack_uniform(indices, num_symbols: int) -> bytes:
+    """Pack integer indices in [0, num_symbols) at fixed bit width."""
+    bits = max(1, int(np.ceil(np.log2(num_symbols))))
+    idx = np.asarray(indices).reshape(-1).astype(np.uint64)
+    if idx.size and (idx.max() >= num_symbols):
+        raise ValueError("index out of range")
+    # expand to a bit matrix [n, bits], MSB first, then pack
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    bitmat = ((idx[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+    return np.packbits(bitmat.reshape(-1)).tobytes()
+
+
+def unpack_uniform(data: bytes, n: int, num_symbols: int) -> np.ndarray:
+    bits = max(1, int(np.ceil(np.log2(num_symbols))))
+    raw = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * bits)
+    bitmat = raw.reshape(n, bits).astype(np.uint64)
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    return (bitmat << shifts[None, :]).sum(axis=1).astype(np.int32)

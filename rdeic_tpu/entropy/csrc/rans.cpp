@@ -1,0 +1,234 @@
+// rANS entropy coder (host-side, C++) for RDEIC-TPU.
+//
+// Role parity: the compressai BufferedRansEncoder/RansDecoder used by the
+// reference at /root/reference/model/compression.py:163-262. This is an
+// original implementation of the standard rANS construction (Duda 2013;
+// popularized by F. Giesen's ryg_rans): 32-bit state, 16-bit probability
+// precision, 16-bit renormalization words. Out-of-range symbols use an
+// escape slot (the CDF tail bin) followed by variable-length bypass chunks
+// (4-bit groups: 1 continuation bit + 3 payload bits).
+//
+// The stream format is self-defined (this framework's bitstreams only need
+// to round-trip bit-exactly within the framework).
+//
+// Exposed as a plain C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kProbBits = 16;
+constexpr uint32_t kRansL = 1u << 16;  // normalized interval lower bound
+
+struct WordBuf {
+  std::vector<uint16_t> words;
+  void put(uint16_t w) { words.push_back(w); }
+};
+
+// --- encoder primitives (operate on state x, emit renorm words) ---------
+inline void enc_symbol(uint32_t& x, WordBuf& buf, uint32_t start,
+                       uint32_t freq) {
+  // renorm: keep x < freq << 16 so the decoder invariant holds
+  // (uint64 guards against freq == 2^16 overflowing the shift)
+  const uint64_t x_max = static_cast<uint64_t>(freq) << 16;
+  while (x >= x_max) {
+    buf.put(static_cast<uint16_t>(x & 0xffff));
+    x >>= 16;
+  }
+  x = ((x / freq) << kProbBits) + (x % freq) + start;
+}
+
+inline void enc_raw(uint32_t& x, WordBuf& buf, uint32_t bits, uint32_t nbits) {
+  const uint32_t x_max = 1u << (32 - nbits);
+  while (x >= x_max) {
+    buf.put(static_cast<uint16_t>(x & 0xffff));
+    x >>= 16;
+  }
+  x = (x << nbits) | (bits & ((1u << nbits) - 1));
+}
+
+// --- decoder ---------------------------------------------------------------
+struct Decoder {
+  std::vector<uint8_t> stream;
+  size_t pos = 0;  // byte position
+  uint32_t x = 0;
+
+  uint16_t read16() {
+    if (pos + 2 > stream.size()) return 0;  // past-end reads zero-fill
+    uint16_t w = static_cast<uint16_t>(stream[pos]) |
+                 (static_cast<uint16_t>(stream[pos + 1]) << 8);
+    pos += 2;
+    return w;
+  }
+
+  void init(const uint8_t* data, int n) {
+    stream.assign(data, data + n);
+    pos = 0;
+    x = (static_cast<uint32_t>(read16()) << 16) | read16();
+  }
+
+  void renorm() {
+    while (x < kRansL && pos < stream.size()) {
+      x = (x << 16) | read16();
+    }
+  }
+
+  uint32_t dec_get_cum() const { return x & ((1u << kProbBits) - 1); }
+
+  void dec_advance(uint32_t start, uint32_t freq) {
+    x = freq * (x >> kProbBits) + (x & ((1u << kProbBits) - 1)) - start;
+    renorm();
+  }
+
+  uint32_t dec_raw(uint32_t nbits) {
+    uint32_t bits = x & ((1u << nbits) - 1);
+    x >>= nbits;
+    renorm();
+    return bits;
+  }
+};
+
+// Find symbol s such that cdf[s] <= cum < cdf[s+1]; cdf has `len` entries.
+inline int cdf_find(const int32_t* cdf, int len, uint32_t cum) {
+  int lo = 0, hi = len - 1;  // invariant: cdf[lo] <= cum < cdf[hi]
+  while (hi - lo > 1) {
+    const int mid = (lo + hi) >> 1;
+    if (static_cast<uint32_t>(cdf[mid]) <= cum)
+      lo = mid;
+    else
+      hi = mid;
+  }
+  return lo;
+}
+
+// Map an out-of-range residual to a non-negative bypass value. In-range
+// values are 0 <= v < max_value; escapes carry (v - max_value) for overflow
+// or (-v - 1) for underflow, distinguished by the low bit.
+inline uint32_t zigzag_escape(int64_t v, int64_t max_value) {
+  return v >= max_value ? static_cast<uint32_t>((v - max_value) << 1)
+                        : static_cast<uint32_t>(((-v - 1) << 1) | 1);
+}
+
+inline int64_t unzigzag_escape(uint32_t z, int64_t max_value) {
+  return (z & 1) ? -static_cast<int64_t>(z >> 1) - 1
+                 : static_cast<int64_t>(z >> 1) + max_value;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode n symbols. cdfs: flattened [ncdfs, max_len] int32. Returns bytes
+// written, or -1 if `capacity` is insufficient, -2 on bad args.
+int rans_encode_with_indexes(const int32_t* symbols, const int32_t* indexes,
+                             int n, const int32_t* cdfs,
+                             const int32_t* cdf_lengths,
+                             const int32_t* offsets, int ncdfs, int max_len,
+                             uint8_t* out, int capacity) {
+  WordBuf buf;
+  buf.words.reserve(static_cast<size_t>(n) + 16);
+  uint32_t x = kRansL;
+
+  // rANS encodes in reverse so the decoder reads forward.
+  for (int i = n - 1; i >= 0; --i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= ncdfs) return -2;
+    const int32_t* cdf = cdfs + static_cast<size_t>(idx) * max_len;
+    const int len = cdf_lengths[idx];          // entries in cdf
+    const int64_t max_value = len - 2;         // escape slot index
+    const int64_t v = static_cast<int64_t>(symbols[i]) - offsets[idx];
+
+    if (v >= 0 && v < max_value) {
+      enc_symbol(x, buf, cdf[v], cdf[v + 1] - cdf[v]);
+    } else {
+      // bypass: emit 4-bit chunks (reverse order here; decoder reads
+      // low-to-high with continuation bits), then the escape symbol.
+      uint32_t z = zigzag_escape(v, max_value);
+      // gather chunks low-to-high
+      uint32_t chunks[16];
+      int nc = 0;
+      do {
+        uint32_t c = z & 7;
+        z >>= 3;
+        if (z != 0) c |= 8;
+        chunks[nc++] = c;
+      } while (z != 0 && nc < 16);
+      for (int c = nc - 1; c >= 0; --c) enc_raw(x, buf, chunks[c], 4);
+      enc_symbol(x, buf, cdf[max_value], cdf[max_value + 1] - cdf[max_value]);
+    }
+  }
+  // flush state (two words; decoder reads high then low first)
+  buf.put(static_cast<uint16_t>(x & 0xffff));
+  buf.put(static_cast<uint16_t>(x >> 16));
+
+  const int nbytes = static_cast<int>(buf.words.size() * 2);
+  if (nbytes > capacity) return -1;
+  // words were emitted in reverse stream order
+  uint8_t* p = out;
+  for (size_t i = buf.words.size(); i-- > 0;) {
+    *p++ = static_cast<uint8_t>(buf.words[i] & 0xff);
+    *p++ = static_cast<uint8_t>(buf.words[i] >> 8);
+  }
+  return nbytes;
+}
+
+void* rans_decoder_new(const uint8_t* stream, int nbytes) {
+  auto* d = new Decoder();
+  d->init(stream, nbytes);
+  return d;
+}
+
+void rans_decoder_free(void* dec) { delete static_cast<Decoder*>(dec); }
+
+// Decode n symbols from the persistent stream into out (int32 values with
+// offsets already applied back). Returns 0 on success, -2 on bad args.
+int rans_decode_stream(void* dec, const int32_t* indexes, int n,
+                       const int32_t* cdfs, const int32_t* cdf_lengths,
+                       const int32_t* offsets, int ncdfs, int max_len,
+                       int32_t* out) {
+  Decoder* d = static_cast<Decoder*>(dec);
+  for (int i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= ncdfs) return -2;
+    const int32_t* cdf = cdfs + static_cast<size_t>(idx) * max_len;
+    const int len = cdf_lengths[idx];
+    const int64_t max_value = len - 2;
+
+    const uint32_t cum = d->dec_get_cum();
+    const int s = cdf_find(cdf, len, cum);
+    d->dec_advance(cdf[s], cdf[s + 1] - cdf[s]);
+
+    int64_t v;
+    if (s == max_value) {
+      uint32_t z = 0;
+      int shift = 0;
+      for (;;) {
+        const uint32_t c = d->dec_raw(4);
+        z |= (c & 7) << shift;
+        shift += 3;
+        if (!(c & 8) || shift > 30) break;
+      }
+      v = unzigzag_escape(z, max_value);
+    } else {
+      v = s;
+    }
+    out[i] = static_cast<int32_t>(v + offsets[idx]);
+  }
+  return 0;
+}
+
+// One-shot decode convenience (stream created and freed internally).
+int rans_decode_with_indexes(const uint8_t* stream, int nbytes,
+                             const int32_t* indexes, int n,
+                             const int32_t* cdfs, const int32_t* cdf_lengths,
+                             const int32_t* offsets, int ncdfs, int max_len,
+                             int32_t* out) {
+  Decoder d;
+  d.init(stream, nbytes);
+  return rans_decode_stream(&d, indexes, n, cdfs, cdf_lengths, offsets, ncdfs,
+                            max_len, out);
+}
+
+}  // extern "C"
