@@ -1,0 +1,110 @@
+"""Shared Flax building blocks (NHWC, TPU-friendly).
+
+Everything here is layout-native for TPU: NHWC tensors keep channels on the
+128-lane axis, convs lower to MXU matmuls, GroupNorm/SiLU fuse into the
+surrounding convs under XLA.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def find_denominator(number: int, start: int) -> int:
+    """Largest divisor of `number` that is <= start.
+
+    Parity: /root/reference/model/rdeic.py:464-471 (GroupNorm group count for
+    ratio-scaled control channels).
+    """
+    if start >= number:
+        return number
+    while start != 0:
+        if number % start == 0:
+            return start
+        start -= 1
+    return 1
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray, dim: int, max_period: int = 10000
+) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings: cat(cos, sin) ordering.
+
+    Parity: /root/reference/ldm/modules/diffusionmodules/util.py:161-182.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Depth-to-space with torch PixelShuffle channel ordering (NHWC input
+    whose channel dim is laid out as (c, i, j))."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b h i w j c
+    return x.reshape(b, h * r, w * r, c)
+
+
+class Conv(nn.Module):
+    """2D conv, NHWC. kernel k, stride s, 'same'-style fixed padding."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int | None = None
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding if self.padding is not None else self.kernel // 2
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in float32 regardless of activation dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        x = x.astype(jnp.float32)
+        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon)(x)
+        return x.astype(orig)
+
+
+def zero_init_conv(features: int, kernel: int = 1, padding: int = 0):
+    """Conv initialized to zero (ControlNet-style zero module)."""
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        padding=[(padding, padding), (padding, padding)],
+        kernel_init=nn.initializers.zeros,
+        bias_init=nn.initializers.zeros,
+    )
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def leaky_relu(x, slope: float = 0.01):
+    return jnp.where(x >= 0, x, slope * x)

@@ -1,0 +1,47 @@
+"""Attention ops: XLA fallback + Pallas flash attention (TPU).
+
+Role parity: ldm/modules/attention.py CrossAttention /
+MemoryEfficientCrossAttention (xformers CUDA) in the reference. On TPU the
+fused path is a Pallas flash-attention kernel; the XLA path below is used on
+CPU and as a reference implementation.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def sdp_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    fp32_softmax: bool = True,
+) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    q: [B, Lq, H, D], k/v: [B, Lk, H, D] -> [B, Lq, H, D].
+    Softmax is computed in float32 (the reference forces fp32 softmax for
+    SD 2.1 numerical stability, ldm/modules/attention.py:153-204).
+    """
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if fp32_softmax:
+        logits = logits.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+@functools.partial(jax.jit, static_argnames=("use_flash",))
+def attention(q, k, v, use_flash: bool = False):
+    """Dispatcher; `use_flash` selects the Pallas kernel (TPU only)."""
+    if use_flash:
+        from rdeic_tpu.ops.flash_attention import flash_attention  # noqa: PLC0415
+
+        return flash_attention(q, k, v)
+    return sdp_attention(q, k, v)
