@@ -1,0 +1,203 @@
+"""Data pipeline: file-list dataset + host-side batched loader.
+
+Behavioral parity:
+- LICDataset (dataset/licdataset.py): file-list of image paths, crop modes
+  none/center/random, hflip/rot augmentation, 3-retry image loading, output
+  dict(jpg=[-1,1] HWC float32, txt="").
+- DataModule (dataset/data_module.py): train/val dataset configs + loader
+  kwargs; BatchTransform identity hook (dataset/batch_transform.py).
+
+TPU design: the loader is a simple prefetching host iterator producing
+numpy batches; device placement/sharding happens in the trainer (batch dims
+sharded over the "dp" mesh axis).
+"""
+from __future__ import annotations
+
+import queue
+import random
+import threading
+import time
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from rdeic_tpu.registry import instantiate_from_config, load_yaml
+from rdeic_tpu.utils.image import augment, center_crop_arr, random_crop_arr
+
+
+def load_file_list(path: str) -> list[str]:
+    return [l.strip() for l in Path(path).read_text().splitlines() if l.strip()]
+
+
+def list_image_files(
+    folder: str,
+    exts: Sequence[str] = (".png", ".jpg", ".jpeg", ".bmp", ".webp"),
+    follow_links: bool = False,
+) -> list[str]:
+    out = []
+    for p in sorted(Path(folder).rglob("*")):
+        if p.suffix.lower() in exts and p.is_file():
+            out.append(str(p))
+    return out
+
+
+class LICDataset:
+    """File-list image dataset for learned image compression training."""
+
+    def __init__(
+        self,
+        file_list: str,
+        out_size: int = 256,
+        crop_type: str = "random",
+        use_hflip: bool = True,
+        use_rot: bool = False,
+        seed: Optional[int] = None,
+    ):
+        self.paths = load_file_list(file_list)
+        self.out_size = out_size
+        assert crop_type in ("none", "center", "random")
+        self.crop_type = crop_type
+        self.use_hflip = use_hflip
+        self.use_rot = use_rot
+        self.rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _load(self, path: str) -> Image.Image:
+        # 3-retry load with a short sleep (licdataset.py behavior)
+        for attempt in range(3):
+            try:
+                img = Image.open(path)
+                img.load()
+                return img.convert("RGB")
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(1)
+        raise RuntimeError("unreachable")
+
+    def __getitem__(self, idx: int) -> dict:
+        pil = self._load(self.paths[idx])
+        if self.crop_type == "center":
+            arr = center_crop_arr(pil, self.out_size)
+        elif self.crop_type == "random":
+            arr = random_crop_arr(pil, self.out_size, rng=self.rng)
+        else:
+            arr = np.array(pil)
+        arr = augment(arr, hflip=self.use_hflip, rotation=self.use_rot, rng=self.rng)
+        img = arr.astype(np.float32) / 127.5 - 1.0  # [-1, 1] HWC
+        return dict(jpg=img, txt="")
+
+
+class IdentityBatchTransform:
+    """Extension hook applied to each assembled batch."""
+
+    def __call__(self, batch: dict) -> dict:
+        return batch
+
+
+class DataLoader:
+    """Shuffling, prefetching batch iterator over a map-style dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        seed: int = 0,
+        batch_transform=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+        self.batch_transform = batch_transform or IdentityBatchTransform()
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _indices(self) -> list[int]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._indices()
+        self.epoch += 1
+        batches = [
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    items = [self.dataset[i] for i in b]
+                    batch = {
+                        "jpg": np.stack([it["jpg"] for it in items]),
+                        "txt": [it["txt"] for it in items],
+                    }
+                    q.put(self.batch_transform(batch))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class DataModule:
+    """Train/val dataset + loader assembly from the YAML config tree."""
+
+    def __init__(
+        self,
+        train_config: Optional[str | dict] = None,
+        val_config: Optional[str | dict] = None,
+    ):
+        self.train_config = train_config
+        self.val_config = val_config
+
+    @staticmethod
+    def _build(cfg) -> tuple:
+        if cfg is None:
+            return None, {}
+        if isinstance(cfg, str):
+            cfg = load_yaml(cfg)
+        ds = instantiate_from_config(cfg["dataset"])
+        return ds, dict(cfg.get("data_loader") or {})
+
+    def train_dataloader(self) -> Optional[DataLoader]:
+        ds, kw = self._build(self.train_config)
+        if ds is None:
+            return None
+        kw.pop("num_workers", None)
+        kw.pop("pin_memory", None)
+        return DataLoader(ds, **kw)
+
+    def val_dataloader(self) -> Optional[DataLoader]:
+        ds, kw = self._build(self.val_config)
+        if ds is None:
+            return None
+        kw.pop("num_workers", None)
+        kw.pop("pin_memory", None)
+        kw.setdefault("shuffle", False)
+        return DataLoader(ds, shuffle=False, **{k: v for k, v in kw.items() if k != "shuffle"})

@@ -78,16 +78,22 @@ class Conv(nn.Module):
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in float32 regardless of activation dtype."""
+    """GroupNorm in float32; groups = largest divisor of C that is <= max_groups.
 
-    num_groups: int = 32
+    This reproduces both the stock GroupNorm(32, C) (all SD channel counts are
+    multiples of 32) and the control module's GroupNorm_leq32 /
+    find_denominator behavior for ratio-scaled widths (rdeic.py:473-485).
+    """
+
+    max_groups: int = 32
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
+        groups = find_denominator(x.shape[-1], self.max_groups)
         x = x.astype(jnp.float32)
-        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon)(x)
+        x = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon)(x)
         return x.astype(orig)
 
 

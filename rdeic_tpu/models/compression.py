@@ -431,3 +431,10 @@ class CompressionModel(nn.Module):
             z=z,
             vq_indices=vq_indices,
         )
+
+
+class CompressionConfig(dict):
+    """Registry target for preprocess_config YAML nodes."""
+
+    def __init__(self, **params):
+        super().__init__(**params)

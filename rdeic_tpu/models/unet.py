@@ -48,19 +48,18 @@ class ResBlock(nn.Module):
     """UNet residual block with timestep-embedding injection."""
 
     out_ch: int
-    norm_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb):
-        h = GroupNorm32(self.norm_groups, name="in_norm")(x)
+        h = GroupNorm32(name="in_norm")(x)
         h = jax.nn.silu(h)
         h = Conv(self.out_ch, kernel=3, dtype=self.dtype, name="in_conv")(h)
         e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_proj")(
             jax.nn.silu(emb)
         )
         h = h + e[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(self.norm_groups, name="out_norm")(h)
+        h = GroupNorm32(name="out_norm")(h)
         h = jax.nn.silu(h)
         h = nn.Conv(
             self.out_ch,
@@ -142,7 +141,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
-        hidden = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        hidden = GroupNorm32(epsilon=1e-6, name="norm")(x)
         hidden = hidden.reshape(b, h * w, c)
         hidden = nn.Dense(inner, dtype=self.dtype, name="proj_in")(hidden)
         for i in range(self.depth):
@@ -185,7 +184,6 @@ class EncoderBlock(nn.Module):
     heads: int = 0
     dim_head: int = 0
     context_dim: int = 0
-    norm_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -194,7 +192,7 @@ class EncoderBlock(nn.Module):
             return Conv(self.out_ch, kernel=3, dtype=self.dtype, name="conv_in")(x)
         if self.kind == "down":
             return Downsample(self.out_ch, self.dtype, name="down")(x)
-        h = ResBlock(self.out_ch, self.norm_groups, self.dtype, name="res")(x, emb)
+        h = ResBlock(self.out_ch, self.dtype, name="res")(x, emb)
         if self.kind == "res_attn":
             h = SpatialTransformer(
                 self.heads, self.dim_head, self.context_dim, 1, self.dtype,
@@ -212,12 +210,11 @@ class DecoderBlock(nn.Module):
     heads: int = 0
     dim_head: int = 0
     context_dim: int = 0
-    norm_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb, context):
-        h = ResBlock(self.out_ch, self.norm_groups, self.dtype, name="res")(x, emb)
+        h = ResBlock(self.out_ch, self.dtype, name="res")(x, emb)
         if self.has_attn:
             h = SpatialTransformer(
                 self.heads, self.dim_head, self.context_dim, 1, self.dtype,
@@ -233,16 +230,15 @@ class MiddleBlock(nn.Module):
     heads: int
     dim_head: int
     context_dim: int
-    norm_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb, context):
-        h = ResBlock(self.ch, self.norm_groups, self.dtype, name="res1")(x, emb)
+        h = ResBlock(self.ch, self.dtype, name="res1")(x, emb)
         h = SpatialTransformer(
             self.heads, self.dim_head, self.context_dim, 1, self.dtype, name="attn"
         )(h, context)
-        return ResBlock(self.ch, self.norm_groups, self.dtype, name="res2")(h, emb)
+        return ResBlock(self.ch, self.dtype, name="res2")(h, emb)
 
 
 def _enc_plan(model_channels, channel_mult, num_res_blocks, attention_resolutions):
@@ -314,7 +310,7 @@ class UNetModel(nn.Module):
             blocks.append(
                 EncoderBlock(
                     kind, ch, heads, self.num_head_channels, self.context_dim,
-                    32, self.dtype, name=f"in_{i}",
+                    self.dtype, name=f"in_{i}",
                 )
             )
         self.input_blocks = blocks
@@ -322,7 +318,7 @@ class UNetModel(nn.Module):
         mid_ch = self.channel_mult[-1] * mc
         self.middle_block = MiddleBlock(
             mid_ch, mid_ch // self.num_head_channels, self.num_head_channels,
-            self.context_dim, 32, self.dtype, name="mid",
+            self.context_dim, self.dtype, name="mid",
         )
         self.mid_out_channels = mid_ch
 
@@ -336,7 +332,7 @@ class UNetModel(nn.Module):
             dblocks.append(
                 DecoderBlock(
                     ch, has_attn, has_up, heads, self.num_head_channels,
-                    self.context_dim, 32, self.dtype, name=f"out_{i}",
+                    self.context_dim, self.dtype, name=f"out_{i}",
                 )
             )
         self.output_blocks = dblocks
@@ -392,7 +388,6 @@ class ControlModule(nn.Module):
         self.enc_out_channels = tuple(c for _, c, _ in enc)
         blocks = []
         for i, (kind, ch, _) in enumerate(enc):
-            groups = find_denominator(ch, 32)
             if kind == "res_attn":
                 dim_head = find_denominator(ch, self.num_head_channels)
                 heads = ch // dim_head
@@ -400,7 +395,7 @@ class ControlModule(nn.Module):
                 dim_head, heads = 0, 0
             blocks.append(
                 EncoderBlock(
-                    kind, ch, heads, dim_head, self.context_dim, groups,
+                    kind, ch, heads, dim_head, self.context_dim,
                     self.dtype, name=f"in_{i}",
                 )
             )
@@ -409,7 +404,7 @@ class ControlModule(nn.Module):
         dim_head = find_denominator(mid_ch, self.num_head_channels)
         self.middle_block = MiddleBlock(
             mid_ch, mid_ch // dim_head, dim_head, self.context_dim,
-            find_denominator(mid_ch, 32), self.dtype, name="mid",
+            self.dtype, name="mid",
         )
         self.mid_out_channels = mid_ch
 
@@ -514,3 +509,10 @@ class NoiseEstimator(nn.Module):
     def forward_unconditional(self, x, t, context):
         """Base UNet alone (CFG unconditional branch, rdeic.py:214-235)."""
         return self.base(x, t, context)
+
+
+class UNetConfig(dict):
+    """Registry target for unet_config YAML nodes."""
+
+    def __init__(self, **params):
+        super().__init__(**params)

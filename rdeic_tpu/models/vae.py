@@ -32,7 +32,10 @@ def swish(x):
 class Normalize(nn.Module):
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=32, epsilon=1e-6)(x)
+        from rdeic_tpu.models.blocks import find_denominator
+
+        groups = find_denominator(x.shape[-1], 32)
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-6)(x)
 
 
 class ResnetBlock(nn.Module):
@@ -188,3 +191,10 @@ class AutoencoderKL(nn.Module):
 def sample_diagonal_gaussian(rng, mean, logvar):
     std = jnp.exp(0.5 * logvar)
     return mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+
+
+class AutoencoderKLConfig(dict):
+    """Registry target for first_stage_config YAML nodes."""
+
+    def __init__(self, **params):
+        super().__init__(**params)

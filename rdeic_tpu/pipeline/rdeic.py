@@ -1,0 +1,486 @@
+"""RDEIC task model: the central orchestrator.
+
+Capability parity: /root/reference/model/rdeic.py:600-991 (RDEIC
+LightningModule) — owns the dual-UNet denoiser, the compression model, the
+frozen VAE + text conditioning, the relay sampling logic, and both training
+losses. Re-designed functionally for JAX: the model holds static configs +
+module definitions; all state lives in an explicit params pytree; every hot
+path is a cached jitted function.
+
+Key relay mechanics preserved (model/rdeic.py:649,740-761,788-881):
+- lamba = sqrt_recipm1_alphas_cumprod[used_timesteps - 1]
+- inference starts from q_sample(c_latent, t=used_timesteps-1)
+- independent phase: noise target shifted by (c_latent - x_start)/lamba,
+  loss on predicted x0 vs x_start (+ guide/bpp/emb terms)
+- refine phase: backprop through the fixed_step sampler and the VAE decoder
+  with MSE + 0.5*LPIPS (+ guide/bpp/emb terms)
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from pathlib import Path
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rdeic_tpu.diffusion import ddim as ddim_lib
+from rdeic_tpu.diffusion import spaced as spaced_lib
+from rdeic_tpu.diffusion.schedule import NoiseSchedule
+from rdeic_tpu.models.clip import OpenCLIPTextEncoder, tokenize_empty
+from rdeic_tpu.models.compression import CompressionModel
+from rdeic_tpu.models.lpips import LPIPS
+from rdeic_tpu.models.unet import NoiseEstimator
+from rdeic_tpu.models.vae import AutoencoderKL, sample_diagonal_gaussian
+from rdeic_tpu.pipeline.codec import CompressionCodec
+from rdeic_tpu.utils.bitstream import filesize, read_body, write_body
+
+
+def _cfg_params(cfg: Optional[Mapping[str, Any]]) -> dict:
+    if cfg is None:
+        return {}
+    if "params" in cfg or "target" in cfg:
+        return dict(cfg.get("params") or {})
+    return dict(cfg)
+
+
+class RDEIC:
+    """Relay-residual diffusion extreme image compression (TPU-native)."""
+
+    def __init__(
+        self,
+        control_stage_config: Optional[Mapping] = None,
+        unet_config: Optional[Mapping] = None,
+        first_stage_config: Optional[Mapping] = None,
+        cond_stage_config: Optional[Mapping] = None,
+        preprocess_config: Optional[Mapping] = None,
+        calculate_metrics: Optional[Mapping] = None,
+        sd_locked: bool = True,
+        is_refine: bool = False,
+        fixed_step: int = 2,
+        learning_rate: float = 2e-5,
+        l_bpp_weight: float = 1.0,
+        l_guide_weight: float = 2.0,
+        used_timesteps: int = 300,
+        timesteps: int = 1000,
+        linear_start: float = 0.00085,
+        linear_end: float = 0.0120,
+        scale_factor: float = 0.18215,
+        parameterization: str = "eps",
+        sync_path: Optional[str] = None,
+        synch_control: bool = False,
+        ckpt_path_pre: Optional[str] = None,
+        dtype=jnp.float32,
+        **_: Any,
+    ):
+        ctrl = _cfg_params(control_stage_config)
+        unet = _cfg_params(unet_config)
+        vae_cfg = _cfg_params(first_stage_config)
+        comp = _cfg_params(preprocess_config)
+
+        self.schedule = NoiseSchedule.create(
+            timesteps=timesteps,
+            beta_schedule="linear",
+            linear_start=linear_start,
+            linear_end=linear_end,
+        )
+        self.used_timesteps = used_timesteps
+        self.fixed_step = fixed_step
+        self.is_refine = is_refine
+        self.sd_locked = sd_locked
+        self.learning_rate = learning_rate
+        self.l_bpp_weight = l_bpp_weight
+        self.l_guide_weight = l_guide_weight
+        self.scale_factor = scale_factor
+        self.parameterization = parameterization
+        self.calculate_metrics = calculate_metrics or {}
+        self.sync_path = sync_path
+        self.synch_control = synch_control
+        self.ckpt_path_pre = ckpt_path_pre
+        # residual relay shift (rdeic.py:649)
+        self.lamba = float(
+            self.schedule.table("sqrt_recipm1_alphas_cumprod")[used_timesteps - 1]
+        )
+
+        mc = ctrl.get("model_channels", 320)
+        self.denoiser = NoiseEstimator(
+            in_channels=ctrl.get("in_channels", 4),
+            model_channels=mc,
+            out_channels=ctrl.get("out_channels", 4),
+            hint_channels=ctrl.get("hint_channels", 256),
+            num_res_blocks=ctrl.get("num_res_blocks", 2),
+            attention_resolutions=tuple(ctrl.get("attention_resolutions", (4, 2, 1))),
+            channel_mult=tuple(ctrl.get("channel_mult", (1, 2, 4, 4))),
+            num_head_channels=unet.get("num_head_channels", 64),
+            ctrl_num_head_channels=ctrl.get("num_head_channels", 16),
+            context_dim=ctrl.get("context_dim", 1024),
+            control_model_ratio=ctrl.get("control_model_ratio", 0.2),
+            control_scale=ctrl.get("control_scale", 1.0),
+            dtype=dtype,
+        )
+        dd = vae_cfg.get("ddconfig", {})
+        self.vae = AutoencoderKL(
+            embed_dim=vae_cfg.get("embed_dim", 4),
+            ch=dd.get("ch", 128),
+            ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+            num_res_blocks=dd.get("num_res_blocks", 2),
+        )
+        self.compression = CompressionModel(
+            in_nc=comp.get("in_nc", 512),
+            out_nc=comp.get("out_nc", 4),
+            N=comp.get("N", 256),
+            M=comp.get("M", 256),
+            slice_num=comp.get("slice_num", 10),
+            slice_ch=tuple(comp.get("slice_ch", (8, 8, 8, 8, 16, 16, 32, 32, 64, 64))),
+            codebook_size=comp.get("codebook_size", 16384),
+        )
+        self.clip = OpenCLIPTextEncoder(
+            width=ctrl.get("context_dim", 1024),
+            penultimate=_cfg_params(cond_stage_config).get("layer", "penultimate")
+            == "penultimate",
+        )
+        self.lpips = LPIPS(net="alex")
+
+        self.channels = ctrl.get("in_channels", 4)
+        self._codec: Optional[CompressionCodec] = None
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def init_params(
+        self,
+        rng: jax.Array,
+        image_hw: tuple[int, int] = (256, 256),
+        include_clip: bool = False,
+        include_lpips: bool = None,
+    ) -> dict:
+        """Random-init all parameter trees (tests / training from scratch)."""
+        h, w = image_hw
+        factor = 2 ** (len(self.vae.ch_mult) - 1)
+        lh, lw = h // factor, w // factor
+        ks = jax.random.split(rng, 6)
+        img = jnp.zeros((1, h, w, 3))
+        vae_params = self.vae.init(ks[0], img, ks[5])["params"]
+        feat = jnp.zeros((1, lh, lw, self.compression.in_nc))
+        comp_params = self.compression.init(
+            {"params": ks[1]}, feat, rng=ks[4]
+        )["params"]
+        x = jnp.zeros((1, lh, lw, self.channels))
+        t = jnp.zeros((1,), jnp.int32)
+        ctx = jnp.zeros((1, 77, self.denoiser.context_dim))
+        hint = jnp.zeros((1, lh, lw, self.denoiser.hint_channels))
+        den_params = self.denoiser.init(ks[2], x, t, ctx, hint)["params"]
+        params = {
+            "vae": vae_params,
+            "compression": comp_params,
+            "denoiser": den_params,
+            "uncond_context": jnp.zeros((1, 77, self.denoiser.context_dim)),
+            "vq_embed_prob": jnp.zeros((self.compression.codebook_size,)),
+        }
+        if include_clip:
+            tokens = jnp.zeros((1, 77), jnp.int32)
+            params["clip"] = self.clip.init(ks[3], tokens)["params"]
+        if include_lpips is None:
+            include_lpips = self.is_refine
+        if include_lpips:
+            probe = jnp.zeros((1, 64, 64, 3))
+            params["lpips"] = self.lpips.init(ks[3], probe, probe)["params"]
+        return params
+
+    # ------------------------------------------------------------------
+    # first stage / conditioning
+    # ------------------------------------------------------------------
+    def encode_first_stage(self, params, img, rng=None):
+        """img in [-1,1] NHWC -> (z latent sampled*scale, feature h*scale).
+
+        Parity: ddpm.py:777-833 get_input + get_first_stage_encoding.
+        rng=None uses the posterior mean (deterministic eval).
+        """
+        mean, logvar, h = self.vae.apply(
+            {"params": params["vae"]}, img, method=AutoencoderKL.encode_hc
+        )
+        z = mean if rng is None else sample_diagonal_gaussian(rng, mean, logvar)
+        return z * self.scale_factor, h * self.scale_factor
+
+    def decode_first_stage(self, params, z):
+        return self.vae.apply(
+            {"params": params["vae"]}, z / self.scale_factor,
+            method=AutoencoderKL.decode,
+        )
+
+    def get_learned_conditioning(self, params, texts_tokens=None, batch: int = 1):
+        """Context embedding: CLIP(tokens) if available, else the stored
+        empty-prompt embedding tiled to the batch."""
+        if texts_tokens is not None and "clip" in params:
+            return self.clip.apply({"params": params["clip"]}, texts_tokens)
+        return jnp.tile(params["uncond_context"], (batch, 1, 1))
+
+    # ------------------------------------------------------------------
+    # denoiser
+    # ------------------------------------------------------------------
+    def apply_model(self, params, x_noisy, t, context, guide_hint):
+        return self.denoiser.apply(
+            {"params": params["denoiser"]}, x_noisy, t, context, guide_hint
+        )
+
+    def apply_model_unconditional(self, params, x_noisy, t, context):
+        return self.denoiser.apply(
+            {"params": params["denoiser"]}, x_noisy, t, context,
+            method=NoiseEstimator.forward_unconditional,
+        )
+
+    # ------------------------------------------------------------------
+    # training losses (pure; jit/grad-safe)
+    # ------------------------------------------------------------------
+    def get_input(self, params, img, rng, training: bool = True):
+        """img in [-1,1] -> (x_start z, cond dict). Parity: rdeic.py:678-686."""
+        rng_z, rng_like = jax.random.split(rng)
+        z, h = self.encode_first_stage(params, img, rng_z if training else None)
+        # the reference detaches the frozen first-stage outputs
+        # (ddpm.py:788-789) — no gradient flows into the VAE encoder
+        z = jax.lax.stop_gradient(z)
+        h = jax.lax.stop_gradient(h)
+        comp_out = self.compression.apply(
+            {"params": params["compression"]}, h, rng=rng_like, training=training
+        )
+        n, lh, lw, _ = z.shape
+        num_pixels = n * lh * lw * 64
+        bpp = jnp.sum(jnp.log(comp_out["y_likelihoods"])) / (
+            -math.log(2) * num_pixels
+        )
+        q_bpp = jnp.sum(jnp.log(comp_out["q_likelihoods"])) / (
+            -math.log(2) * num_pixels
+        )
+        context = self.get_learned_conditioning(params, batch=n)
+        cond = dict(
+            c_crossattn=context,
+            c_latent=comp_out["c_latent"],
+            guide_hint=comp_out["guide_hint"],
+            bpp=bpp,
+            q_bpp=q_bpp,
+            emb_loss=comp_out["emb_loss"],
+            target=img,
+            z_hyper=comp_out["z"],
+            vq_indices=comp_out["vq_indices"],
+        )
+        return z, cond
+
+    def p_losses_independent(self, params, z_start, cond, t, rng):
+        """Single-step noise loss with the residual relay shift.
+
+        Parity: rdeic.py:794-835.
+        """
+        c_latent = cond["c_latent"]
+        eps = jax.random.normal(rng, z_start.shape, z_start.dtype)
+        noise = eps + (c_latent - z_start) / self.lamba
+        x_noisy = self.schedule.q_sample(z_start, t, noise)
+        model_out = self.apply_model(
+            params, x_noisy, t, cond["c_crossattn"], cond["guide_hint"]
+        )
+        if self.parameterization == "eps":
+            pred_x0 = self.schedule.predict_xstart_from_eps(x_noisy, t, model_out)
+        elif self.parameterization == "x0":
+            pred_x0 = model_out
+        else:
+            raise NotImplementedError(self.parameterization)
+        loss_simple = jnp.mean((pred_x0 - z_start) ** 2, axis=(1, 2, 3))
+        loss = self.l_guide_weight * jnp.mean(loss_simple)
+        loss_guide = jnp.mean((c_latent - z_start) ** 2)
+        loss = loss + self.l_guide_weight * loss_guide
+        loss = loss + self.l_bpp_weight * cond["bpp"]
+        loss = loss + self.l_bpp_weight * cond["emb_loss"]
+        logs = dict(
+            l_simple=jnp.mean(loss_simple),
+            l_guide=loss_guide,
+            l_bpp=cond["bpp"],
+            q_bpp=cond["q_bpp"],
+            l_emb=cond["emb_loss"],
+            loss=loss,
+        )
+        return loss, logs
+
+    def p_losses_refine(self, params, z_start, cond, rng):
+        """Backprop through the fixed_step sampler + VAE decoder.
+
+        Parity: rdeic.py:837-879 (including the reference's overwrite of the
+        latent-MSE term by the pixel-MSE term — the actual objective is
+        pixel MSE + 0.5*LPIPS + guide + bpp + emb).
+        """
+        c_latent = cond["c_latent"]
+        b = z_start.shape[0]
+        rng_noise, rng_sample = jax.random.split(rng)
+        t = jnp.full((b,), self.used_timesteps - 1, jnp.int32)
+        noise = jax.random.normal(rng_noise, c_latent.shape, c_latent.dtype)
+        x_T = self.schedule.q_sample(c_latent, t, noise)
+
+        coeffs = spaced_lib.make_spaced_coefficients(
+            self.schedule, self.used_timesteps, self.fixed_step
+        )
+
+        def denoise(x, tt):
+            return self.apply_model(
+                params, x, tt, cond["c_crossattn"], cond["guide_hint"]
+            )
+
+        samples = spaced_lib.sample(denoise, x_T, rng_sample, coeffs)
+        decoded = self.decode_first_stage(params, samples)
+        target = cond["target"]
+
+        loss_simple = jnp.mean((samples - z_start) ** 2, axis=(1, 2, 3))
+        loss_mse = jnp.mean((decoded - target) ** 2, axis=(1, 2, 3))
+        loss = self.l_guide_weight * jnp.mean(loss_mse)
+        loss_lpips = jnp.mean(
+            self.lpips.apply({"params": params["lpips"]}, decoded, target)
+        )
+        loss = loss + self.l_guide_weight * loss_lpips * 0.5
+        loss_guide = jnp.mean((c_latent - z_start) ** 2)
+        loss = loss + self.l_guide_weight * loss_guide
+        loss = loss + self.l_bpp_weight * cond["bpp"]
+        loss = loss + self.l_bpp_weight * cond["emb_loss"]
+        logs = dict(
+            l_simple=jnp.mean(loss_simple),
+            l_mse=jnp.mean(loss_mse),
+            l_lpips=loss_lpips,
+            l_guide=loss_guide,
+            l_bpp=cond["bpp"],
+            q_bpp=cond["q_bpp"],
+            l_emb=cond["emb_loss"],
+            loss=loss,
+        )
+        return loss, logs
+
+    def loss_fn(self, params, img, rng):
+        """Full forward + loss for one batch of [-1,1] images."""
+        rng_in, rng_t, rng_loss = jax.random.split(rng, 3)
+        z, cond = self.get_input(params, img, rng_in, training=True)
+        if self.is_refine:
+            loss, logs = self.p_losses_refine(params, z, cond, rng_loss)
+        else:
+            t = jax.random.randint(
+                rng_t, (img.shape[0],), 0, self.used_timesteps
+            )
+            loss, logs = self.p_losses_independent(params, z, cond, t, rng_loss)
+        # hyper latent for the trainer's CVQ codebook maintenance
+        logs["_z_hyper"] = jax.lax.stop_gradient(cond["z_hyper"])
+        return loss, logs
+
+    # ------------------------------------------------------------------
+    # sampling / inference
+    # ------------------------------------------------------------------
+    def relay_init(self, c_latent, rng):
+        """x_T = q_sample(c_latent, t=used_timesteps-1). rdeic.py:740-748."""
+        b = c_latent.shape[0]
+        t = jnp.full((b,), self.used_timesteps - 1, jnp.int32)
+        noise = jax.random.normal(rng, c_latent.shape, c_latent.dtype)
+        return self.schedule.q_sample(c_latent, t, noise)
+
+    def sample(
+        self,
+        params,
+        c_latent,
+        guide_hint,
+        context,
+        rng,
+        steps: int,
+        sampler: str = "ddpm",
+        guidance_scale: float = 1.0,
+        uncond_context=None,
+    ):
+        """Relay sampling from the compressed latent -> denoised latent."""
+        rng_init, rng_loop = jax.random.split(rng)
+        x_T = self.relay_init(c_latent, rng_init)
+
+        def denoise(x, t):
+            return self.apply_model(params, x, t, context, guide_hint)
+
+        uncond_fn = None
+        if guidance_scale != 1.0:
+            uctx = uncond_context if uncond_context is not None else context
+
+            def uncond_fn(x, t):  # noqa: F811
+                return self.apply_model_unconditional(params, x, t, uctx)
+
+        if sampler == "ddpm":
+            coeffs = spaced_lib.make_spaced_coefficients(
+                self.schedule, self.used_timesteps, steps
+            )
+            return spaced_lib.sample(
+                denoise, x_T, rng_loop, coeffs,
+                uncond_fn=uncond_fn, guidance_scale=guidance_scale,
+            )
+        if sampler == "ddim":
+            coeffs = ddim_lib.make_ddim_coefficients(
+                self.schedule, self.used_timesteps, steps
+            )
+            return ddim_lib.sample(
+                denoise, x_T, rng_loop, coeffs,
+                uncond_fn=uncond_fn, guidance_scale=guidance_scale,
+            )
+        raise ValueError(f"unknown sampler {sampler!r}")
+
+    def decode_pipeline(
+        self, params, c_latent, guide_hint, rng, steps: int,
+        sampler: str = "ddpm", guidance_scale: float = 1.0, context=None,
+    ):
+        """c_latent/guide_hint -> RGB in [0,1]; single jittable program."""
+        if context is None:
+            context = self.get_learned_conditioning(
+                params, batch=c_latent.shape[0]
+            )
+        samples = self.sample(
+            params, c_latent, guide_hint, context, rng, steps,
+            sampler=sampler, guidance_scale=guidance_scale,
+        )
+        img = self.decode_first_stage(params, samples)
+        return jnp.clip((img + 1) / 2, 0.0, 1.0)
+
+    def jitted_decode(self, steps: int, sampler: str = "ddpm",
+                      guidance_scale: float = 1.0):
+        key = ("decode", steps, sampler, guidance_scale)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                partial(
+                    self.decode_pipeline, steps=steps, sampler=sampler,
+                    guidance_scale=guidance_scale,
+                )
+            )
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    # real bitstream paths
+    # ------------------------------------------------------------------
+    def codec(self, params) -> CompressionCodec:
+        if self._codec is None or self._codec.params is not params:
+            self._codec = CompressionCodec(
+                self.compression, {"params": params["compression"]}
+            )
+        return self._codec
+
+    def _jitted_feature(self):
+        if "feature" not in self._jit_cache:
+
+            def feat(params, img01):
+                _, h = self.encode_first_stage(params, img01 * 2 - 1, rng=None)
+                return h
+
+            self._jit_cache["feature"] = jax.jit(feat)
+        return self._jit_cache["feature"]
+
+    def apply_condition_compress(self, params, img01, stream_path, H, W):
+        """img01: [1,H,W,3] in [0,1] -> bitstream file; returns real bpp.
+
+        Parity: rdeic.py:659-669.
+        """
+        h = self._jitted_feature()(params, img01)
+        out = self.codec(params).compress(h)
+        with Path(stream_path).open("wb") as f:
+            write_body(f, out["shape"], out["strings"])
+        return filesize(stream_path) * 8.0 / (H * W)
+
+    def apply_condition_decompress(self, params, stream_path):
+        with Path(stream_path).open("rb") as f:
+            strings, shape = read_body(f)
+        return self.codec(params).decompress(strings, shape)

@@ -1,0 +1,71 @@
+"""End-to-end pipeline tests on a micro RDEIC (the inference.py equivalent)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.helpers import micro_rdeic
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = micro_rdeic()
+    params = model.init_params(jax.random.PRNGKey(0), image_hw=(32, 32))
+    return model, params
+
+
+def test_get_input_shapes(model_and_params):
+    model, params = model_and_params
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3)) * 2 - 1
+    z, cond = model.get_input(params, img, jax.random.PRNGKey(2))
+    assert z.shape == (2, 16, 16, 4)
+    assert cond["c_latent"].shape == (2, 16, 16, 4)
+    assert cond["guide_hint"].shape == (2, 16, 16, 8)
+    assert cond["c_crossattn"].shape == (2, 77, 16)
+    assert float(cond["bpp"]) > 0
+    assert np.isfinite(float(cond["q_bpp"]))
+
+
+def test_independent_loss_finite(model_and_params):
+    model, params = model_and_params
+    img = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 3)) * 2 - 1
+    loss, logs = model.loss_fn(params, img, jax.random.PRNGKey(4))
+    assert np.isfinite(float(loss))
+    for k in ("l_simple", "l_guide", "l_bpp", "q_bpp", "l_emb", "loss"):
+        assert k in logs and np.isfinite(float(logs[k]))
+
+
+def test_decode_pipeline_jitted(model_and_params):
+    model, params = model_and_params
+    c_latent = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16, 4))
+    guide_hint = jax.random.normal(jax.random.PRNGKey(6), (1, 16, 16, 8))
+    fn = model.jitted_decode(steps=2, sampler="ddpm")
+    img = fn(params, c_latent, guide_hint, jax.random.PRNGKey(7))
+    assert img.shape == (1, 32, 32, 3)
+    out = np.asarray(img)
+    assert np.all(out >= 0) and np.all(out <= 1) and np.all(np.isfinite(out))
+
+
+def test_full_inference_roundtrip(model_and_params, tmp_path):
+    """process() of inference.py: compress -> file -> decompress -> sample."""
+    model, params = model_and_params
+    img01 = jax.random.uniform(jax.random.PRNGKey(8), (1, 32, 32, 3))
+    stream = str(tmp_path / "img.rdeic")
+    bpp = model.apply_condition_compress(params, img01, stream, 32, 32)
+    assert bpp > 0
+    c_latent, guide_hint = model.apply_condition_decompress(params, stream)
+    assert c_latent.shape == (1, 16, 16, 4)
+    fn = model.jitted_decode(steps=2)
+    out = fn(params, c_latent, guide_hint, jax.random.PRNGKey(9))
+    assert out.shape == (1, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddim_sampler_path(model_and_params):
+    model, params = model_and_params
+    c_latent = jax.random.normal(jax.random.PRNGKey(10), (1, 16, 16, 4))
+    guide_hint = jax.random.normal(jax.random.PRNGKey(11), (1, 16, 16, 8))
+    fn = model.jitted_decode(steps=2, sampler="ddim")
+    img = fn(params, c_latent, guide_hint, jax.random.PRNGKey(12))
+    assert img.shape == (1, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(img)))

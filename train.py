@@ -1,0 +1,133 @@
+"""Training CLI.
+
+Role parity: /root/reference/train.py — load the YAML tree, seed, build the
+DataModule + model, then run the training loop (here: mesh-sharded jitted
+steps with orbax checkpointing and JSONL/TensorBoard metric logging).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from rdeic_tpu.parallel.mesh import batch_sharding, make_mesh
+from rdeic_tpu.registry import instantiate_from_config, load_yaml
+from rdeic_tpu.train.trainer import Trainer
+from rdeic_tpu.utils.checkpoint_io import (
+    list_checkpoints,
+    load_params_npz,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+class MetricLogger:
+    """JSONL metrics + optional TensorBoard (if tensorboardX is present)."""
+
+    def __init__(self, out_dir: str):
+        self.path = Path(out_dir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._tb = None
+        try:  # pragma: no cover - optional dep
+            from tensorboardX import SummaryWriter  # noqa: PLC0415
+
+            self._tb = SummaryWriter(str(Path(out_dir) / "tb"))
+        except Exception:
+            pass
+
+    def log(self, step: int, metrics: dict):
+        row = {"step": step}
+        for k, v in metrics.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        with self.path.open("a") as f:
+            f.write(json.dumps(row) + "\n")
+        if self._tb is not None:
+            for k, v in row.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, required=True)
+    ap.add_argument("--max_steps", type=int, default=None)
+    args = ap.parse_args()
+
+    cfg = load_yaml(args.config)
+    tcfg = cfg.get("trainer", {})
+    seed = int(tcfg.get("seed", 231))
+
+    data = instantiate_from_config(cfg["data"])
+    model_cfg = load_yaml(cfg["model"]["config"])
+    model = instantiate_from_config(model_cfg)
+
+    mesh_cfg = tcfg.get("mesh") or {}
+    mesh = make_mesh(dp=mesh_cfg.get("dp"), tp=int(mesh_cfg.get("tp") or 1))
+
+    trainer = Trainer(
+        model,
+        learning_rate=tcfg.get("learning_rate"),
+        accumulate_grad_batches=int(tcfg.get("accumulate_grad_batches", 1)),
+        mesh=mesh,
+    )
+
+    out_dir = tcfg.get("out_dir", "./runs/rdeic")
+    ckpt_dir = str(Path(out_dir) / "checkpoints")
+    loader = data.train_dataloader()
+    sample = next(iter(loader))
+    image_hw = sample["jpg"].shape[1:3]
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    params = model.init_params(init_rng, image_hw=tuple(image_hw))
+    resume = cfg.get("model", {}).get("resume")
+    if resume and str(resume).endswith(".npz"):
+        params = load_params_npz(resume)
+    state = trainer.init_state(params, rng)
+    start_step = 0
+    if resume and not str(resume).endswith(".npz") and list_checkpoints(resume):
+        state, start_step = restore_checkpoint(resume, state)
+        print(f"[resumed full train state from step {start_step}]")
+
+    logger = MetricLogger(out_dir)
+    max_steps = args.max_steps or int(tcfg.get("max_steps", 100000))
+    log_every = int(tcfg.get("log_every_n_steps", 50))
+    ckpt_every = int(tcfg.get("ckpt_every_n_steps", 5000))
+
+    bshard = batch_sharding(mesh)
+    step = start_step
+    t0 = time.time()
+    while step < max_steps:
+        for batch in loader:
+            img = jax.device_put(batch["jpg"].astype(np.float32), bshard)
+            state, logs = trainer.step(state, img)
+            step += 1
+            if step % log_every == 0:
+                logs = {k: v for k, v in logs.items() if not k.startswith("_")}
+                logs["steps_per_sec"] = log_every / (time.time() - t0)
+                t0 = time.time()
+                logger.log(step, logs)
+                print(f"step {step}: " + ", ".join(
+                    f"{k}={float(v):.4g}" for k, v in logs.items()
+                ))
+            if step % ckpt_every == 0:
+                path = save_checkpoint(
+                    ckpt_dir, step, jax.device_get(state),
+                    keep=int(tcfg.get("ckpt_keep", -1)),
+                )
+                print(f"[checkpoint saved: {path}]")
+            if step >= max_steps:
+                break
+    save_checkpoint(ckpt_dir, step, jax.device_get(state))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
