@@ -1,0 +1,94 @@
+"""Benchmark: Kodak-size (768x512) encode+decode ms/image on the local chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The pipeline measured is the full inference.py path: VAE feature encode ->
+real rANS bitstream -> decompress -> 2-step relay sampling -> VAE decode.
+Weights are random (throughput does not depend on weight values).
+
+BASELINE.md publishes no wall-clock numbers for the reference
+(SURVEY.md §6: only an OOD-finetune anecdote), so vs_baseline is null until
+a measured A100/torch number exists.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    platform = jax.devices()[0].platform
+    log(f"devices: {jax.devices()} (platform={platform})")
+
+    from rdeic_tpu.registry import instantiate_from_config, load_yaml
+
+    if platform == "cpu":
+        # CPU smoke fallback: micro model so the bench always completes
+        sys.path.insert(0, "tests")
+        from helpers import micro_rdeic  # noqa: PLC0415
+
+        model = micro_rdeic()
+        H = W = 32
+        metric = "cpu_smoke_32x32_encdec_ms_per_image"
+        params = model.init_params(jax.random.PRNGKey(0), image_hw=(H, W))
+    else:
+        model = instantiate_from_config(load_yaml("configs/model/rdeic.yaml"))
+        H, W = 512, 768
+        metric = "kodak_768x512_encdec_ms_per_image"
+        log("initializing full-size params on device...")
+        params = model.init_params(jax.random.PRNGKey(0), image_hw=(H, W))
+
+    img01 = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (1, H, W, 3)).astype(np.float32)
+    )
+
+    import tempfile
+    from pathlib import Path
+
+    tmp = Path(tempfile.mkdtemp())
+    stream = str(tmp / "bench.rdeic")
+
+    def once(rng):
+        bpp = model.apply_condition_compress(params, img01, stream, H, W)
+        c_latent, guide_hint = model.apply_condition_decompress(params, stream)
+        fn = model.jitted_decode(steps=2)
+        out = fn(params, c_latent, guide_hint, rng)
+        jax.block_until_ready(out)
+        return bpp, out
+
+    log("warmup (compiles)...")
+    t0 = time.time()
+    bpp, _ = once(jax.random.PRNGKey(1))
+    log(f"warmup done in {time.time()-t0:.1f}s, bpp={bpp:.4f}")
+
+    n_iters = 3 if platform == "cpu" else 8
+    times = []
+    for i in range(n_iters):
+        t0 = time.time()
+        once(jax.random.PRNGKey(2 + i))
+        times.append((time.time() - t0) * 1000)
+    value = float(np.median(times))
+    log(f"times(ms): {['%.1f' % t for t in times]}")
+
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 2),
+                "unit": "ms/image",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

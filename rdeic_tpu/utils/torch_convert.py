@@ -405,34 +405,42 @@ def convert_state_dict(
             missing.append("/".join(map(str, path)))
             out[path] = leaf
             continue
-        src = None
+        leaf_shape = tuple(leaf.shape)
+        # target shape in TORCH layout (tiling happens along torch dims 0/1,
+        # which are the out/in channel dims — rdeic.py:971-986)
+        if transform is _t_conv:
+            torch_shape = (leaf_shape[3], leaf_shape[2], leaf_shape[0], leaf_shape[1])
+        elif transform is _t_linear:
+            torch_shape = (leaf_shape[1], leaf_shape[0])
+        else:
+            torch_shape = leaf_shape
+
+        def as_np(t):
+            return t.float().numpy() if hasattr(t, "numpy") else np.asarray(t)
+
+        src_torch = None
         if key in sd:
-            src = transform(
-                sd[key].float().numpy() if hasattr(sd[key], "numpy") else sd[key]
-            )
+            src_torch = as_np(sd[key])
         elif sync_control and key.startswith("control_model.control_model."):
-            base_key = "model.diffusion_model." + key[len("control_model.control_model.") :]
+            base_key = (
+                "model.diffusion_model."
+                + key[len("control_model.control_model.") :]
+            )
             if base_key in sd:
-                cand = transform(
-                    sd[base_key].float().numpy()
-                    if hasattr(sd[base_key], "numpy")
-                    else sd[base_key]
-                )
-                src = _tile_truncate(cand, np.asarray(leaf).shape)
-        if src is None:
+                src_torch = as_np(sd[base_key])
+        if src_torch is None:
             missing.append("/".join(map(str, path)) + f" <- {key}")
             out[path] = leaf
             continue
-        if tuple(src.shape) != tuple(np.asarray(leaf).shape):
-            fitted = _tile_truncate(src, np.asarray(leaf).shape)
-            if fitted is None:
+        if tuple(src_torch.shape) != torch_shape:
+            src_torch = _tile_truncate(src_torch, torch_shape)
+            if src_torch is None:
                 missing.append(
-                    "/".join(map(str, path)) + f" <- {key} (shape {src.shape})"
+                    "/".join(map(str, path)) + f" <- {key} (shape mismatch)"
                 )
                 out[path] = leaf
                 continue
-            src = fitted
-        out[path] = jnp.asarray(src, dtype=jnp.asarray(leaf).dtype)
+        out[path] = jnp.asarray(transform(src_torch), dtype=leaf.dtype)
     if strict and missing:
         raise KeyError(f"{len(missing)} unconverted leaves, e.g. {missing[:5]}")
     return unflatten_dict(out), missing

@@ -1,13 +1,14 @@
 """Test config: force an 8-device virtual CPU mesh (no TPU needed).
 
-The environment pins JAX_PLATFORMS=axon (the single-chip TPU tunnel); tests
-must override it — multi-device sharding tests need the virtual CPU mesh and
-CI must not depend on TPU availability. A persistent compilation cache
-amortizes XLA-CPU compile time across test runs.
+This environment's sitecustomize registers the 'axon' TPU plugin and
+overrides jax_platforms at interpreter start, so the JAX_PLATFORMS env var
+alone is not enough — the config must be updated after `import jax` (before
+any backend is initialized). XLA_FLAGS is still read at CPU-client creation,
+so it is set first. A persistent compilation cache amortizes XLA compile
+time across test runs.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,3 +17,8 @@ if "host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rdeic_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 8, jax.devices()
