@@ -30,7 +30,7 @@ from rdeic_tpu.models.blocks import (
     timestep_embedding,
     zero_init_conv,
 )
-from rdeic_tpu.ops.attention import sdp_attention
+from rdeic_tpu.ops.attention import attention, sdp_attention
 
 
 class TimeEmbed(nn.Module):
@@ -92,7 +92,7 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, lq, self.heads, self.dim_head)
         k = k.reshape(b, lk, self.heads, self.dim_head)
         v = v.reshape(b, lk, self.heads, self.dim_head)
-        out = sdp_attention(q, k, v).reshape(b, lq, inner)
+        out = attention(q, k, v).reshape(b, lq, inner)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 
 

@@ -37,10 +37,16 @@ def sdp_attention(
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
-@functools.partial(jax.jit, static_argnames=("use_flash",))
-def attention(q, k, v, use_flash: bool = False):
-    """Dispatcher; `use_flash` selects the Pallas kernel (TPU only)."""
-    if use_flash:
+def on_tpu() -> bool:
+    backend = jax.default_backend()
+    return backend in ("tpu", "axon")
+
+
+def attention(q, k, v, *, allow_flash: bool = True):
+    """Auto-dispatching attention: the Pallas flash kernel on TPU for
+    long self-attention sequences, the fused XLA path otherwise."""
+    lq, lk = q.shape[1], k.shape[1]
+    if allow_flash and on_tpu() and lq == lk and lq >= 256:
         from rdeic_tpu.ops.flash_attention import flash_attention  # noqa: PLC0415
 
         return flash_attention(q, k, v)

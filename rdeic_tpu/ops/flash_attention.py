@@ -1,0 +1,109 @@
+"""Pallas flash attention for TPU (the xformers replacement).
+
+Role parity: MemoryEfficientCrossAttention (xformers CUDA) in
+ldm/modules/attention.py:206-253. This is a streaming-softmax (FlashAttention
+-style) kernel: query blocks live in VMEM, K/V are consumed in chunks with a
+running max/denominator, so the [L, L] score matrix never materializes in
+HBM. Matmuls hit the MXU with fp32 accumulation; softmax math stays fp32.
+
+Used for the UNet self-attention (L = h*w up to ~10k tokens). Cross
+attention to the 77-token text context stays on the XLA path (tiny K).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
+    q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
+    block_q, d = q.shape
+    num_k = pl.cdiv(seq_len, block_k)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        # mask the zero-padded tail of the last chunk
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        s = jnp.where(col < seq_len, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """q/k/v: [B, L, H, D] -> [B, L, H, D] (self attention, no mask)."""
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    scale = d**-0.5
+
+    # [B*H, L, D] layout; pad L to the block size
+    def to_bhld(x, l):
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+        return x
+
+    qh = to_bhld(q, lq)
+    kh = to_bhld(k, lk)
+    vh = to_bhld(v, lk)
+    if lq < block_q:
+        block_q = -(-lq // 8) * 8  # round small sequences up to a sublane
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    if pad_q:
+        qh = jnp.pad(qh, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        kh = jnp.pad(kh, ((0, 0), (0, pad_k), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, pad_k), (0, 0)))
+    lq_p = lq + pad_q
+    lk_p = lk + pad_k
+
+    grid = (b * h, lq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, block_k=block_k, seq_len=lk
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )(qh, kh, vh)
+    out = out[:, :lq, :].reshape(b, h, lq, d).transpose(0, 2, 1, 3)
+    return out
