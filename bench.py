@@ -24,6 +24,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _fast_random_params(model, image_hw, scale: float = 0.02):
+    """Params with the right tree/shapes but cheap per-leaf random values.
+
+    Avoids compiling the monolithic init program (slow over the TPU tunnel);
+    throughput does not depend on trained weight values. Per-leaf normal
+    fills keep the entropy-model symbols non-degenerate so the rANS timing
+    stays realistic.
+    """
+    template = jax.eval_shape(
+        lambda r: model.init_params(r, image_hw=image_hw), jax.random.PRNGKey(0)
+    )
+    rng = np.random.default_rng(0)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    out = []
+    for leaf in leaves:
+        arr = (rng.standard_normal(leaf.shape) * scale).astype(leaf.dtype)
+        out.append(jax.device_put(jnp.asarray(arr)))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def main():
     platform = jax.devices()[0].platform
     log(f"devices: {jax.devices()} (platform={platform})")
@@ -43,8 +63,8 @@ def main():
         model = instantiate_from_config(load_yaml("configs/model/rdeic.yaml"))
         H, W = 512, 768
         metric = "kodak_768x512_encdec_ms_per_image"
-        log("initializing full-size params on device...")
-        params = model.init_params(jax.random.PRNGKey(0), image_hw=(H, W))
+        log("materializing full-size params (eval_shape + per-leaf fill)...")
+        params = _fast_random_params(model, (H, W))
 
     img01 = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (1, H, W, 3)).astype(np.float32)

@@ -38,6 +38,10 @@ def sdp_attention(
 
 
 def on_tpu() -> bool:
+    import os  # noqa: PLC0415
+
+    if os.environ.get("RDEIC_DISABLE_FLASH") == "1":
+        return False
     backend = jax.default_backend()
     return backend in ("tpu", "axon")
 

@@ -100,6 +100,14 @@ def main():
     max_steps = args.max_steps or int(tcfg.get("max_steps", 100000))
     log_every = int(tcfg.get("log_every_n_steps", 50))
     ckpt_every = int(tcfg.get("ckpt_every_n_steps", 5000))
+    val_every = int(tcfg.get("val_check_interval", 0))
+    val_loader = data.val_dataloader()
+    from rdeic_tpu.train.callbacks import ImageLogger
+    from rdeic_tpu.train.validation import run_validation
+
+    image_logger = ImageLogger(
+        out_dir, every_n_steps=int(tcfg.get("image_log_every_n_steps", 2000))
+    )
 
     bshard = batch_sharding(mesh)
     step = start_step
@@ -123,6 +131,20 @@ def main():
                     keep=int(tcfg.get("ckpt_keep", -1)),
                 )
                 print(f"[checkpoint saved: {path}]")
+            try:
+                image_logger.maybe_log(
+                    model, trainer.params(state), batch["jpg"], step,
+                    jax.random.PRNGKey(step),
+                )
+            except Exception as e:  # logging must never kill training
+                print(f"[image log failed: {e}]")
+            if val_every and val_loader is not None and step % val_every == 0:
+                vm = run_validation(
+                    model, trainer.params(state), val_loader,
+                    jax.random.PRNGKey(step), max_batches=8,
+                )
+                logger.log(step, vm)
+                print(f"validation @ {step}: {vm}")
             if step >= max_steps:
                 break
     save_checkpoint(ckpt_dir, step, jax.device_get(state))
