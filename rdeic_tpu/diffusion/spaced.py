@@ -78,10 +78,14 @@ def sample(
     *,
     uncond_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
     guidance_scale: float = 1.0,
+    cond_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Run the relay spaced sampling loop from x_T (already q_sampled).
 
     denoise_fn(x, t[B]) -> eps. Differentiable; jit/grad-safe.
+    cond_fn(pred_x0, t) -> delta implements latent-space classifier guidance
+    (parity: spaced_sampler_relay.py:292-347 — the delta shifts pred_x0 and
+    adds 0.5*delta to the posterior mean).
     """
     b = x_T.shape[0]
 
@@ -95,6 +99,9 @@ def sample(
             eps = eps_u + guidance_scale * (eps - eps_u)
         x0 = per.sqrt_recip_acp * x - per.sqrt_recipm1_acp * eps
         mean = per.post_mean_c1 * x0 + per.post_mean_c2 * x
+        if cond_fn is not None:
+            delta = cond_fn(x0, t)
+            mean = mean + 0.5 * delta
         noise = jax.random.normal(key, x.shape, x.dtype)
         x = mean + per.nonzero * per.sqrt_model_var * noise
         return (x, rng), None

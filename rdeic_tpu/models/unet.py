@@ -295,9 +295,15 @@ class UNetModel(nn.Module):
     num_head_channels: int = 64
     transformer_depth: int = 1
     context_dim: int = 1024
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
+        # activation checkpointing (parity: use_checkpoint=True in the
+        # reference unet/control configs; util.py:109-159) via nn.remat
+        Enc = nn.remat(EncoderBlock) if self.use_checkpoint else EncoderBlock
+        Dec = nn.remat(DecoderBlock) if self.use_checkpoint else DecoderBlock
+        Mid = nn.remat(MiddleBlock) if self.use_checkpoint else MiddleBlock
         mc = self.model_channels
         self.time_embed = TimeEmbed(mc * 4, self.dtype, name="time_embed")
         enc = _enc_plan(
@@ -308,7 +314,7 @@ class UNetModel(nn.Module):
         for i, (kind, ch, _) in enumerate(enc):
             heads = ch // self.num_head_channels if kind == "res_attn" else 0
             blocks.append(
-                EncoderBlock(
+                Enc(
                     kind, ch, heads, self.num_head_channels, self.context_dim,
                     self.dtype, name=f"in_{i}",
                 )
@@ -316,7 +322,7 @@ class UNetModel(nn.Module):
         self.input_blocks = blocks
 
         mid_ch = self.channel_mult[-1] * mc
-        self.middle_block = MiddleBlock(
+        self.middle_block = Mid(
             mid_ch, mid_ch // self.num_head_channels, self.num_head_channels,
             self.context_dim, self.dtype, name="mid",
         )
@@ -330,7 +336,7 @@ class UNetModel(nn.Module):
         for i, (ch, has_attn, has_up, _) in enumerate(dec):
             heads = ch // self.num_head_channels if has_attn else 0
             dblocks.append(
-                DecoderBlock(
+                Dec(
                     ch, has_attn, has_up, heads, self.num_head_channels,
                     self.context_dim, self.dtype, name=f"out_{i}",
                 )
@@ -374,9 +380,12 @@ class ControlModule(nn.Module):
     num_head_channels: int = 16
     context_dim: int = 1024
     control_model_ratio: float = 0.2
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
+        Enc = nn.remat(EncoderBlock) if self.use_checkpoint else EncoderBlock
+        Mid = nn.remat(MiddleBlock) if self.use_checkpoint else MiddleBlock
         full_mc = self.model_channels
         mc = int(full_mc * self.control_model_ratio)
         self.scaled_channels = mc
@@ -394,7 +403,7 @@ class ControlModule(nn.Module):
             else:
                 dim_head, heads = 0, 0
             blocks.append(
-                EncoderBlock(
+                Enc(
                     kind, ch, heads, dim_head, self.context_dim,
                     self.dtype, name=f"in_{i}",
                 )
@@ -402,7 +411,7 @@ class ControlModule(nn.Module):
         self.input_blocks = blocks
         mid_ch = self.channel_mult[-1] * mc
         dim_head = find_denominator(mid_ch, self.num_head_channels)
-        self.middle_block = MiddleBlock(
+        self.middle_block = Mid(
             mid_ch, mid_ch // dim_head, dim_head, self.context_dim,
             self.dtype, name="mid",
         )
@@ -435,6 +444,7 @@ class NoiseEstimator(nn.Module):
     context_dim: int = 1024
     control_model_ratio: float = 0.2
     control_scale: float = 1.0
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -447,6 +457,7 @@ class NoiseEstimator(nn.Module):
             channel_mult=tuple(self.channel_mult),
             num_head_channels=self.num_head_channels,
             context_dim=self.context_dim,
+            use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
             name="base",
         )
@@ -460,6 +471,7 @@ class NoiseEstimator(nn.Module):
             num_head_channels=self.ctrl_num_head_channels,
             context_dim=self.context_dim,
             control_model_ratio=self.control_model_ratio,
+            use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
             name="control",
         )

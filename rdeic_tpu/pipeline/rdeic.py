@@ -118,6 +118,7 @@ class RDEIC:
             context_dim=ctrl.get("context_dim", 1024),
             control_model_ratio=ctrl.get("control_model_ratio", 0.2),
             control_scale=ctrl.get("control_scale", 1.0),
+            use_checkpoint=bool(ctrl.get("use_checkpoint", False)),
             dtype=dtype,
         )
         dd = vae_cfg.get("ddconfig", {})
