@@ -8,15 +8,21 @@ coder.
 
 Determinism design (replaces the reference's cudnn-determinism toggles,
 model/compression.py:156,209): the encode path calls EXACTLY the same jitted
-per-pass functions as the decode path, with bit-identical inputs (z_q is
+per-pass programs as the decode path, with bit-identical inputs (z_q is
 re-derived from the coded indices on both sides; y_hat halves are rebuilt
 from integer symbols + means on both sides). Same program + same inputs on
 the same device => bit-identical entropy parameters, so the decoder always
 sees the CDF indexes the encoder used.
 
-TPU pipelining: each pass is a small dense-conv XLA program; host rANS
-en/decoding of pass k overlaps device compute of pass k+1 in the decode
-direction via dispatch-ahead (JAX async dispatch).
+Latency design (the tunnel/dispatch overhead per device call dominates the
+sandbox): each slice is THREE shared programs —
+  A: (hyper, y_hat_prev)            -> anchor means/indexes (+ channel ctx)
+  B: (anchor symbols, A outputs)    -> anchor half + nonanchor means/indexes
+  C: (nonanchor symbols, B outputs) -> y_hat_prev extended
+The encode side adds tiny round() symbol programs and defers ALL device->
+host pulls to the end (JAX async dispatch runs the whole device chain
+without blocking); the decode side is inherently host-interactive (the rANS
+stream feeds pass k+1), costing 2 pulls + 2 pushes per slice.
 """
 from __future__ import annotations
 
@@ -53,50 +59,69 @@ class CompressionCodec:
     # ------------------------------------------------------------------
     def _build_jitted(self):
         model = self.model
-        st = jnp.asarray(self.scale_table, jnp.float32)
 
         @jax.jit
         def analyze(params, x):
+            """Encode-only: y slices (squeezed halves) + VQ indices + hyper."""
             y, z = model.apply(params, x, method=CompressionModel.analyze)
             _, indices = model.apply(params, z, method=CompressionModel.vq_quant)
-            return y, indices, z.shape[1:3]
+            z_q = model.apply(params, indices, method=CompressionModel.vq_lookup)
+            hyper = model.apply(params, z_q, method=CompressionModel.hyper_decode)
+            return y, indices, hyper
 
         @jax.jit
         def hyper_from_indices(params, indices):
             z_q = model.apply(params, indices, method=CompressionModel.vq_lookup)
             return model.apply(params, z_q, method=CompressionModel.hyper_decode)
 
-        def anchor_pass(params, idx, hyper, y_hat_prev):
+        def pass_a(params, idx, hyper, y_hat_prev):
+            """Anchor entropy params for slice idx (shared encode/decode)."""
             scales, means, channel_ctx = model.apply(
                 params, idx, hyper, y_hat_prev,
                 method=CompressionModel.params_anchor,
             )
-            scales_sq = ckbd.ckbd_anchor_squeeze(scales)
             means_sq = ckbd.ckbd_anchor_squeeze(means)
-            indexes = g.build_indexes(scales_sq, self.scale_table)
+            indexes = g.build_indexes(
+                ckbd.ckbd_anchor_squeeze(scales), self.scale_table
+            )
             return means_sq, indexes, channel_ctx
 
-        def nonanchor_pass(params, idx, hyper, channel_ctx, anchor_half):
+        def pass_b(params, idx, sym_a, means_a_sq, hyper, channel_ctx):
+            """Dequantize the anchor half, compute non-anchor entropy params
+            (shared encode/decode)."""
+            anchor_half = ckbd.ckbd_anchor_unsqueeze(
+                sym_a.astype(jnp.float32) + means_a_sq
+            )
             scales, means = model.apply(
                 params, idx, hyper, channel_ctx, anchor_half,
                 method=CompressionModel.params_nonanchor,
             )
-            scales_sq = ckbd.ckbd_nonanchor_squeeze(scales)
             means_sq = ckbd.ckbd_nonanchor_squeeze(means)
-            indexes = g.build_indexes(scales_sq, self.scale_table)
-            return means_sq, indexes
+            indexes = g.build_indexes(
+                ckbd.ckbd_nonanchor_squeeze(scales), self.scale_table
+            )
+            return anchor_half, means_sq, indexes
 
-        # shared quantize/dequantize helpers (identical both directions)
-        @jax.jit
-        def symbols_from(y_half_sq, means_sq):
-            return jnp.round(y_half_sq - means_sq).astype(jnp.int32)
+        def pass_c(params, sym_na, means_na_sq, anchor_half, y_hat_prev):
+            """Assemble the slice and extend y_hat_prev (shared)."""
+            nonanchor_half = ckbd.ckbd_nonanchor_unsqueeze(
+                sym_na.astype(jnp.float32) + means_na_sq
+            )
+            y_hat_slice = anchor_half + nonanchor_half
+            if y_hat_prev is None:
+                return y_hat_slice
+            return jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
 
-        @partial(jax.jit, static_argnames=("anchor",))
-        def dequant_half(symbols, means_sq, anchor: bool):
-            vals = symbols.astype(jnp.float32) + means_sq
-            if anchor:
-                return ckbd.ckbd_anchor_unsqueeze(vals)
-            return ckbd.ckbd_nonanchor_unsqueeze(vals)
+        # encode-only: integer symbols for a squeezed half
+        @partial(jax.jit, static_argnames=("anchor", "lo", "hi"))
+        def symbols_from(y, means_sq, anchor: bool, lo: int, hi: int):
+            y_slice = y[..., lo:hi]
+            half = (
+                ckbd.ckbd_anchor_squeeze(y_slice)
+                if anchor
+                else ckbd.ckbd_nonanchor_squeeze(y_slice)
+            )
+            return jnp.round(half - means_sq).astype(jnp.int32)
 
         @jax.jit
         def synthesize(params, y_hat):
@@ -104,16 +129,13 @@ class CompressionCodec:
 
         self._analyze = analyze
         self._hyper = hyper_from_indices
-        # one jitted program per (idx, phase) — the same object is reused by
-        # compress and decompress for bit-determinism
-        self._anchor = [
-            jax.jit(partial(anchor_pass, idx=i)) for i in range(model.slice_num)
-        ]
-        self._nonanchor = [
-            jax.jit(partial(nonanchor_pass, idx=i)) for i in range(model.slice_num)
-        ]
+        # one jitted program per (slice, phase) — the SAME objects are used
+        # by compress and decompress for bit-determinism
+        n = model.slice_num
+        self._pass_a = [jax.jit(partial(pass_a, idx=i)) for i in range(n)]
+        self._pass_b = [jax.jit(partial(pass_b, idx=i)) for i in range(n)]
+        self._pass_c = jax.jit(pass_c)
         self._symbols = symbols_from
-        self._dequant = dequant_half
         self._synthesize = synthesize
 
     # ------------------------------------------------------------------
@@ -128,43 +150,46 @@ class CompressionCodec:
     def compress(self, x) -> dict:
         """x: [1, H, W, in_nc] scaled VAE feature -> {strings, shape}.
 
-        Mirrors Compression.compress (compression.py:151-213): VQ-code the
-        hyper latent, then per slice code anchor and non-anchor halves.
+        Mirrors Compression.compress (compression.py:151-213). The whole
+        device chain is dispatched asynchronously; symbols/indexes are pulled
+        from the device in one batched device_get at the end.
         """
         params = self.params
-        y, indices, zshape = self._analyze(params, x)
-        indices_np = np.asarray(indices)
-        z_string = pack_uniform(indices_np, self.model.codebook_size)
-        # decode side derives z_q from indices; encode must match bit-exactly
-        hyper = self._hyper(params, jnp.asarray(indices_np))
+        y, indices, hyper = self._analyze(params, x)
 
-        enc = BufferedRansEncoder()
+        sym_list = []
+        idx_list = []
         y_hat_prev = None
         for i, (lo, hi) in enumerate(self._slice_bounds()):
-            y_slice = y[..., lo:hi]
-            means_a, idx_a, channel_ctx = self._anchor[i](params, hyper=hyper, y_hat_prev=y_hat_prev)
-            sym_a = self._symbols(ckbd.ckbd_anchor_squeeze(y_slice), means_a)
-            enc.encode_with_indexes(np.asarray(sym_a), np.asarray(idx_a))
-            anchor_half = self._dequant(sym_a, means_a, anchor=True)
-
-            means_na, idx_na = self._nonanchor[i](
-                params, hyper=hyper, channel_ctx=channel_ctx, anchor_half=anchor_half
+            means_a, idx_a, channel_ctx = self._pass_a[i](
+                params, hyper=hyper, y_hat_prev=y_hat_prev
             )
-            sym_na = self._symbols(ckbd.ckbd_nonanchor_squeeze(y_slice), means_na)
-            enc.encode_with_indexes(np.asarray(sym_na), np.asarray(idx_na))
-            nonanchor_half = self._dequant(sym_na, means_na, anchor=False)
-
-            y_hat_slice = anchor_half + nonanchor_half
-            y_hat_prev = (
-                y_hat_slice
-                if y_hat_prev is None
-                else jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
+            sym_a = self._symbols(y, means_a, anchor=True, lo=lo, hi=hi)
+            anchor_half, means_na, idx_na = self._pass_b[i](
+                params, sym_a=sym_a, means_a_sq=means_a, hyper=hyper,
+                channel_ctx=channel_ctx,
             )
+            sym_na = self._symbols(y, means_na, anchor=False, lo=lo, hi=hi)
+            y_hat_prev = self._pass_c(
+                params, sym_na=sym_na, means_na_sq=means_na,
+                anchor_half=anchor_half, y_hat_prev=y_hat_prev,
+            )
+            sym_list += [sym_a, sym_na]
+            idx_list += [idx_a, idx_na]
+
+        # one synchronization point: pull everything together
+        pulled = jax.device_get([indices] + sym_list + idx_list)
+        indices_np = pulled[0]
+        syms = pulled[1 : 1 + len(sym_list)]
+        idxs = pulled[1 + len(sym_list) :]
+
+        z_string = pack_uniform(indices_np, self.model.codebook_size)
+        enc = BufferedRansEncoder()
+        for s, ix in zip(syms, idxs):
+            enc.encode_with_indexes(s, ix)
         y_string = enc.flush(self.table)
-        return {
-            "strings": [[y_string], [z_string]],
-            "shape": (int(zshape[0]), int(zshape[1])),
-        }
+        zh, zw = indices_np.shape[1], indices_np.shape[2]
+        return {"strings": [[y_string], [z_string]], "shape": (zh, zw)}
 
     def decompress(self, strings, shape):
         """strings/shape -> (c_latent, guide_hint).
@@ -175,35 +200,30 @@ class CompressionCodec:
         y_string = strings[0][0]
         z_string = strings[1][0]
         zh, zw = int(shape[0]), int(shape[1])
-        n = zh * zw
-        indices = unpack_uniform(z_string, n, self.model.codebook_size).reshape(
-            1, zh, zw
-        )
+        indices = unpack_uniform(z_string, zh * zw, self.model.codebook_size)
+        indices = indices.reshape(1, zh, zw)
         hyper = self._hyper(params, jnp.asarray(indices))
 
         dec = RansDecoder()
         dec.set_stream(y_string)
         y_hat_prev = None
         for i in range(self.model.slice_num):
-            means_a, idx_a, channel_ctx = self._anchor[i](params, hyper=hyper, y_hat_prev=y_hat_prev)
-            sym_a = dec.decode_stream(np.asarray(idx_a), self.table).reshape(
-                np.asarray(idx_a).shape
+            means_a, idx_a, channel_ctx = self._pass_a[i](
+                params, hyper=hyper, y_hat_prev=y_hat_prev
             )
-            anchor_half = self._dequant(jnp.asarray(sym_a), means_a, anchor=True)
-
-            means_na, idx_na = self._nonanchor[i](
-                params, hyper=hyper, channel_ctx=channel_ctx, anchor_half=anchor_half
+            idx_a_np = np.asarray(idx_a)
+            sym_a = dec.decode_stream(idx_a_np, self.table).reshape(idx_a_np.shape)
+            anchor_half, means_na, idx_na = self._pass_b[i](
+                params, sym_a=jnp.asarray(sym_a), means_a_sq=means_a,
+                hyper=hyper, channel_ctx=channel_ctx,
             )
-            sym_na = dec.decode_stream(np.asarray(idx_na), self.table).reshape(
-                np.asarray(idx_na).shape
+            idx_na_np = np.asarray(idx_na)
+            sym_na = dec.decode_stream(idx_na_np, self.table).reshape(
+                idx_na_np.shape
             )
-            nonanchor_half = self._dequant(jnp.asarray(sym_na), means_na, anchor=False)
-
-            y_hat_slice = anchor_half + nonanchor_half
-            y_hat_prev = (
-                y_hat_slice
-                if y_hat_prev is None
-                else jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
+            y_hat_prev = self._pass_c(
+                params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
+                anchor_half=anchor_half, y_hat_prev=y_hat_prev,
             )
         dec.close()
         c_latent, guide_hint = self._synthesize(params, y_hat_prev)

@@ -88,6 +88,21 @@ def main():
     rng, init_rng = jax.random.split(rng)
     params = model.init_params(init_rng, image_hw=tuple(image_hw))
     resume = cfg.get("model", {}).get("resume")
+    # sync_path: SD 2.1 torch checkpoint -> converted into the fresh params
+    # (with control-weight sync, rdeic.py:962-991) when not resuming.
+    sync_path = getattr(model, "sync_path", None)
+    if sync_path and Path(sync_path).exists() and not resume:
+        from rdeic_tpu.utils.torch_convert import (
+            convert_state_dict,
+            load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(sync_path)
+        params, missing = convert_state_dict(
+            sd, params, model, sync_control=bool(model.synch_control)
+        )
+        print(f"[synced base weights from {sync_path}; "
+              f"{len(missing)} keys stay random]")
     if resume and str(resume).endswith(".npz"):
         params = load_params_npz(resume)
     state = trainer.init_state(params, rng)
