@@ -61,6 +61,11 @@ def main():
         params = model.init_params(jax.random.PRNGKey(0), image_hw=(H, W))
     else:
         model = instantiate_from_config(load_yaml("configs/model/rdeic.yaml"))
+        import os as _os
+
+        if _os.environ.get("RDEIC_BENCH_FP32") != "1":
+            model.set_compute_dtype(jnp.bfloat16)
+            log("denoiser compute dtype: bfloat16")
         H, W = 512, 768
         metric = "kodak_768x512_encdec_ms_per_image"
         log("materializing full-size params (eval_shape + per-leaf fill)...")

@@ -44,9 +44,15 @@ def main():
     ap.add_argument("--guidance_scale", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=231)
     ap.add_argument("--show_lq", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 denoiser compute (TPU-native autocast)")
     args = ap.parse_args()
 
     model = instantiate_from_config(load_yaml(args.config))
+    if args.bf16:
+        import jax.numpy as jnp
+
+        model.set_compute_dtype(jnp.bfloat16)
     params = load_params_npz(args.ckpt)
 
     in_path = Path(args.input)

@@ -44,17 +44,35 @@ from rdeic_tpu.ops import ckbd
 from rdeic_tpu.ops import gaussian as g
 
 
-class CompressionCodec:
-    """Stateful wrapper: model def + params + CDF tables + jitted passes."""
+import threading
 
-    def __init__(self, model: CompressionModel, params):
+
+class CompressionCodec:
+    """Stateful wrapper: model def + params + CDF tables + jitted passes.
+
+    fused=True routes compress/decompress through ONE shared jitted program
+    whose symbol source is a host `pure_callback` (round() on encode, rANS
+    stream on decode). Both directions execute the identical compiled
+    program, so entropy parameters are bit-identical by construction, and
+    per-image device dispatches drop from ~50 to ~5.
+    """
+
+    def __init__(self, model: CompressionModel, params, fused: bool = False):
         self.model = model
         self.params = params
+        self.fused = fused
         scale_table = g.get_scale_table()
         self.scale_table = scale_table
         cdf, lengths, offsets = g.build_cdf_tables(scale_table)
         self.table = CdfTable(cdf, lengths, offsets)
+        # the pure_callback may run on an XLA worker thread, so the active
+        # coder is an instance slot guarded by a lock (one fused program
+        # execution at a time per codec instance)
+        self._active_coder = None
+        self._fused_lock = threading.Lock()
         self._build_jitted()
+        if fused:
+            self._build_fused()
 
     # ------------------------------------------------------------------
     def _build_jitted(self):
@@ -139,6 +157,126 @@ class CompressionCodec:
         self._synthesize = synthesize
 
     # ------------------------------------------------------------------
+    # fused single-program path (pure_callback symbol source)
+    # ------------------------------------------------------------------
+    def _build_fused(self):
+        model = self.model
+        bounds = self._slice_bounds()
+
+        def symbol_cb(y_half_sq, means_sq, indexes):
+            """Host symbol source; dispatched to the active coder."""
+            impl = self._active_coder
+            return impl(
+                np.asarray(y_half_sq), np.asarray(means_sq), np.asarray(indexes)
+            )
+
+        def entropy_program(params, hyper, y):
+            """All 10 slices x (anchor, nonanchor); y is zeros on decode."""
+            y_hat_prev = None
+            for i, (lo, hi) in enumerate(bounds):
+                y_slice = y[..., lo:hi]
+                scales_a, means_a, channel_ctx = model.apply(
+                    params, i, hyper, y_hat_prev,
+                    method=CompressionModel.params_anchor,
+                )
+                means_a_sq = ckbd.ckbd_anchor_squeeze(means_a)
+                idx_a = g.build_indexes(
+                    ckbd.ckbd_anchor_squeeze(scales_a), self.scale_table
+                )
+                y_a_sq = ckbd.ckbd_anchor_squeeze(y_slice)
+                sym_a = jax.pure_callback(
+                    symbol_cb,
+                    jax.ShapeDtypeStruct(y_a_sq.shape, jnp.int32),
+                    y_a_sq, means_a_sq, idx_a,
+                )
+                anchor_half = ckbd.ckbd_anchor_unsqueeze(
+                    sym_a.astype(jnp.float32) + means_a_sq
+                )
+                scales_na, means_na = model.apply(
+                    params, i, hyper, channel_ctx, anchor_half,
+                    method=CompressionModel.params_nonanchor,
+                )
+                means_na_sq = ckbd.ckbd_nonanchor_squeeze(means_na)
+                idx_na = g.build_indexes(
+                    ckbd.ckbd_nonanchor_squeeze(scales_na), self.scale_table
+                )
+                y_na_sq = ckbd.ckbd_nonanchor_squeeze(y_slice)
+                sym_na = jax.pure_callback(
+                    symbol_cb,
+                    jax.ShapeDtypeStruct(y_na_sq.shape, jnp.int32),
+                    y_na_sq, means_na_sq, idx_na,
+                )
+                nonanchor_half = ckbd.ckbd_nonanchor_unsqueeze(
+                    sym_na.astype(jnp.float32) + means_na_sq
+                )
+                y_hat_slice = anchor_half + nonanchor_half
+                y_hat_prev = (
+                    y_hat_slice
+                    if y_hat_prev is None
+                    else jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
+                )
+            return y_hat_prev
+
+        self._entropy_program = jax.jit(entropy_program)
+
+    def _compress_fused(self, x) -> dict:
+        params = self.params
+        y, indices, _ = self._analyze(params, x)
+        indices_np = np.asarray(indices)
+        # SAME hyper program as decode (bit-exactness)
+        hyper = self._hyper(params, jnp.asarray(indices_np))
+
+        recorded: list[tuple[np.ndarray, np.ndarray]] = []
+
+        def encode_coder(y_half_sq, means_sq, indexes):
+            sym = np.round(y_half_sq - means_sq).astype(np.int32)
+            recorded.append((sym, indexes))
+            return sym
+
+        with self._fused_lock:
+            self._active_coder = encode_coder
+            try:
+                y_hat = self._entropy_program(params, hyper, y)
+                jax.block_until_ready(y_hat)
+            finally:
+                self._active_coder = None
+        enc = BufferedRansEncoder()
+        for sym, idx in recorded:
+            enc.encode_with_indexes(sym, idx)
+        y_string = enc.flush(self.table)
+        z_string = pack_uniform(indices_np, self.model.codebook_size)
+        zh, zw = indices_np.shape[1], indices_np.shape[2]
+        return {"strings": [[y_string], [z_string]], "shape": (zh, zw)}
+
+    def _decompress_fused(self, strings, shape):
+        params = self.params
+        zh, zw = int(shape[0]), int(shape[1])
+        indices = unpack_uniform(
+            strings[1][0], zh * zw, self.model.codebook_size
+        ).reshape(1, zh, zw)
+        hyper = self._hyper(params, jnp.asarray(indices))
+        dec = RansDecoder()
+        dec.set_stream(strings[0][0])
+
+        def decode_coder(y_half_sq, means_sq, indexes):
+            sym = dec.decode_stream(indexes, self.table)
+            return sym.reshape(indexes.shape).astype(np.int32)
+
+        # y placeholder: zeros with the encoder-side y shape
+        b = hyper.shape[0]
+        yh, yw = hyper.shape[1], hyper.shape[2]
+        y_zeros = jnp.zeros((b, yh, yw, self.model.M), jnp.float32)
+        with self._fused_lock:
+            self._active_coder = decode_coder
+            try:
+                y_hat = self._entropy_program(params, hyper, y_zeros)
+                jax.block_until_ready(y_hat)
+            finally:
+                self._active_coder = None
+                dec.close()
+        return self._synthesize(params, y_hat)
+
+    # ------------------------------------------------------------------
     def _slice_bounds(self):
         bounds = []
         acc = 0
@@ -154,6 +292,13 @@ class CompressionCodec:
         device chain is dispatched asynchronously; symbols/indexes are pulled
         from the device in one batched device_get at the end.
         """
+        if self.fused:
+            try:
+                return self._compress_fused(x)
+            except Exception as e:  # backend without host-callback support
+                print(f"[fused codec unavailable ({type(e).__name__}); "
+                      f"falling back to multi-program path]")
+                self.fused = False
         params = self.params
         y, indices, hyper = self._analyze(params, x)
 
@@ -196,6 +341,13 @@ class CompressionCodec:
 
         Mirrors Compression.decompress (compression.py:215-273).
         """
+        if self.fused:
+            try:
+                return self._decompress_fused(strings, shape)
+            except Exception as e:
+                print(f"[fused codec unavailable ({type(e).__name__}); "
+                      f"falling back to multi-program path]")
+                self.fused = False
         params = self.params
         y_string = strings[0][0]
         z_string = strings[1][0]

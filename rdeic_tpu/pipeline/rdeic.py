@@ -148,6 +148,16 @@ class RDEIC:
         self._codec: Optional[CompressionCodec] = None
         self._jit_cache: dict = {}
 
+    def set_compute_dtype(self, dtype) -> None:
+        """Switch the denoiser's compute dtype (params stay fp32).
+
+        bf16 is the TPU-native inference precision (the reference's analog
+        is the optional fp16 autocast, inference_partition.py:283-291);
+        GroupNorm/softmax stay fp32 inside the modules.
+        """
+        self.denoiser = self.denoiser.clone(dtype=dtype)
+        self._jit_cache.clear()
+
     # ------------------------------------------------------------------
     # initialization
     # ------------------------------------------------------------------
@@ -455,8 +465,12 @@ class RDEIC:
     # ------------------------------------------------------------------
     def codec(self, params) -> CompressionCodec:
         if self._codec is None or self._codec.params is not params:
+            import os  # noqa: PLC0415
+
+            fused = os.environ.get("RDEIC_FUSED_CODEC", "1") == "1"
             self._codec = CompressionCodec(
-                self.compression, {"params": params["compression"]}
+                self.compression, {"params": params["compression"]},
+                fused=fused,
             )
         return self._codec
 

@@ -62,3 +62,24 @@ def test_container_roundtrip_through_file(codec, tmp_path):
     c1, _ = codec.decompress(out["strings"], out["shape"])
     c2, _ = codec.decompress(strings, shape)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_fused_codec_matches_multiprogram(codec):
+    """The fused pure_callback path must produce identical bitstreams and
+    reconstructions to the multi-program path."""
+    import jax.numpy as jnp
+    from rdeic_tpu.pipeline.codec import CompressionCodec
+
+    fused = CompressionCodec(codec.model, codec.params, fused=True)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 8))
+    a = codec.compress(x)
+    b = fused.compress(x)
+    assert a["shape"] == b["shape"]
+    assert a["strings"][1][0] == b["strings"][1][0]  # hyper indices identical
+    ca, ga = codec.decompress(a["strings"], a["shape"])
+    cb, gb = fused.decompress(b["strings"], b["shape"])
+    np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+    # fused self-roundtrip determinism
+    cb2, gb2 = fused.decompress(b["strings"], b["shape"])
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cb2))
