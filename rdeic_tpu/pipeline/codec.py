@@ -277,6 +277,102 @@ class CompressionCodec:
         return self._synthesize(params, y_hat)
 
     # ------------------------------------------------------------------
+    # batched fused paths: B images per entropy-program execution.
+    # Dispatch latency amortizes B-fold; each image still gets its own
+    # independent bitstream (decodable alone).
+    # ------------------------------------------------------------------
+    def compress_batch(self, x) -> list[dict]:
+        """x: [B, H, W, in_nc] -> list of per-image {strings, shape}."""
+        if not self.fused:
+            return [self.compress(x[i : i + 1]) for i in range(x.shape[0])]
+        params = self.params
+        b = x.shape[0]
+        y, indices, _ = self._analyze(params, x)
+        indices_np = np.asarray(indices)
+        hyper = self._hyper(params, jnp.asarray(indices_np))
+
+        recorded: list[list[tuple[np.ndarray, np.ndarray]]] = [
+            [] for _ in range(b)
+        ]
+
+        def encode_coder(y_half_sq, means_sq, indexes):
+            sym = np.round(y_half_sq - means_sq).astype(np.int32)
+            for i in range(b):
+                recorded[i].append((sym[i], indexes[i]))
+            return sym
+
+        with self._fused_lock:
+            self._active_coder = encode_coder
+            try:
+                y_hat = self._entropy_program(params, hyper, y)
+                jax.block_until_ready(y_hat)
+            finally:
+                self._active_coder = None
+        outs = []
+        for i in range(b):
+            enc = BufferedRansEncoder()
+            for sym, idx in recorded[i]:
+                enc.encode_with_indexes(sym, idx)
+            outs.append(
+                {
+                    "strings": [
+                        [enc.flush(self.table)],
+                        [pack_uniform(indices_np[i], self.model.codebook_size)],
+                    ],
+                    "shape": (indices_np.shape[1], indices_np.shape[2]),
+                }
+            )
+        return outs
+
+    def decompress_batch(self, outs: list[dict]):
+        """list of per-image {strings, shape} -> (c_latent [B..], guide_hint)."""
+        if not self.fused:
+            parts = [self.decompress(o["strings"], o["shape"]) for o in outs]
+            return (
+                jnp.concatenate([p[0] for p in parts]),
+                jnp.concatenate([p[1] for p in parts]),
+            )
+        params = self.params
+        b = len(outs)
+        zh, zw = outs[0]["shape"]
+        indices = np.stack(
+            [
+                unpack_uniform(
+                    o["strings"][1][0], zh * zw, self.model.codebook_size
+                ).reshape(zh, zw)
+                for o in outs
+            ]
+        )
+        hyper = self._hyper(params, jnp.asarray(indices))
+        decs = []
+        for o in outs:
+            d = RansDecoder()
+            d.set_stream(o["strings"][0][0])
+            decs.append(d)
+
+        def decode_coder(y_half_sq, means_sq, indexes):
+            rows = [
+                decs[i]
+                .decode_stream(indexes[i], self.table)
+                .reshape(indexes[i].shape)
+                for i in range(b)
+            ]
+            return np.stack(rows).astype(np.int32)
+
+        yh, yw = hyper.shape[1], hyper.shape[2]
+        y_zeros = jnp.zeros((b, yh, yw, self.model.M), jnp.float32)
+        with self._fused_lock:
+            self._active_coder = decode_coder
+            try:
+                y_hat = self._entropy_program(params, hyper, y_zeros)
+                jax.block_until_ready(y_hat)
+            finally:
+                self._active_coder = None
+                for d in decs:
+                    d.close()
+        return self._synthesize(params, y_hat)
+
+    # ------------------------------------------------------------------
     def _slice_bounds(self):
         bounds = []
         acc = 0

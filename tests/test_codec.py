@@ -83,3 +83,24 @@ def test_fused_codec_matches_multiprogram(codec):
     # fused self-roundtrip determinism
     cb2, gb2 = fused.decompress(b["strings"], b["shape"])
     np.testing.assert_array_equal(np.asarray(cb), np.asarray(cb2))
+
+
+def test_batched_codec_matches_single(codec):
+    """Batched fused coding must produce the same per-image streams as
+    single-image fused coding."""
+    from rdeic_tpu.pipeline.codec import CompressionCodec
+
+    fused = CompressionCodec(codec.model, codec.params, fused=True)
+    x = jax.random.normal(jax.random.PRNGKey(11), (3, 8, 8, 8))
+    batch = fused.compress_batch(x)
+    assert len(batch) == 3
+    for i in range(3):
+        single = fused.compress(x[i : i + 1])
+        assert batch[i]["strings"][0][0] == single["strings"][0][0]
+        assert batch[i]["strings"][1][0] == single["strings"][1][0]
+    c_b, g_b = fused.decompress_batch(batch)
+    assert c_b.shape[0] == 3
+    c_0, g_0 = fused.decompress(batch[0]["strings"], batch[0]["shape"])
+    np.testing.assert_allclose(
+        np.asarray(c_b[0:1]), np.asarray(c_0), atol=1e-5
+    )
