@@ -499,3 +499,24 @@ class RDEIC:
         with Path(stream_path).open("rb") as f:
             strings, shape = read_body(f)
         return self.codec(params).decompress(strings, shape)
+
+    # ---- batched bitstream paths (one entropy-program run for B images) --
+    def apply_condition_compress_batch(self, params, imgs01, stream_paths):
+        """imgs01: [B, H, W, 3] (same padded size) -> per-image files + bpps."""
+        h = self._jitted_feature()(params, imgs01)
+        outs = self.codec(params).compress_batch(h)
+        bpps = []
+        H, W = imgs01.shape[1:3]
+        for out, path in zip(outs, stream_paths):
+            with Path(path).open("wb") as f:
+                write_body(f, out["shape"], out["strings"])
+            bpps.append(filesize(path) * 8.0 / (H * W))
+        return bpps
+
+    def apply_condition_decompress_batch(self, params, stream_paths):
+        outs = []
+        for path in stream_paths:
+            with Path(path).open("rb") as f:
+                strings, shape = read_body(f)
+            outs.append({"strings": strings, "shape": shape})
+        return self.codec(params).decompress_batch(outs)
