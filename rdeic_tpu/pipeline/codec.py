@@ -46,6 +46,30 @@ from rdeic_tpu.ops import gaussian as g
 
 import threading
 
+_CALLBACK_SUPPORT: dict = {}
+
+
+def host_callbacks_supported() -> bool:
+    """Probe whether the default backend supports jax host callbacks.
+
+    (The axon PJRT tunnel reports UNIMPLEMENTED for send/recv callbacks;
+    real TPU/CPU backends support them.)
+    """
+    backend = jax.default_backend()
+    if backend not in _CALLBACK_SUPPORT:
+        try:
+            x = jnp.zeros((1,), jnp.int32)
+            fn = jax.jit(
+                lambda a: jax.pure_callback(
+                    lambda v: np.asarray(v), jax.ShapeDtypeStruct((1,), jnp.int32), a
+                )
+            )
+            jax.block_until_ready(fn(x))
+            _CALLBACK_SUPPORT[backend] = True
+        except Exception:
+            _CALLBACK_SUPPORT[backend] = False
+    return _CALLBACK_SUPPORT[backend]
+
 
 class CompressionCodec:
     """Stateful wrapper: model def + params + CDF tables + jitted passes.

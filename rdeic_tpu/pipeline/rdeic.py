@@ -467,7 +467,12 @@ class RDEIC:
         if self._codec is None or self._codec.params is not params:
             import os  # noqa: PLC0415
 
-            fused = os.environ.get("RDEIC_FUSED_CODEC", "1") == "1"
+            from rdeic_tpu.pipeline.codec import host_callbacks_supported
+
+            fused = (
+                os.environ.get("RDEIC_FUSED_CODEC", "1") == "1"
+                and host_callbacks_supported()
+            )
             self._codec = CompressionCodec(
                 self.compression, {"params": params["compression"]},
                 fused=fused,
