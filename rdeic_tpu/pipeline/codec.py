@@ -308,7 +308,7 @@ class CompressionCodec:
     def compress_batch(self, x) -> list[dict]:
         """x: [B, H, W, in_nc] -> list of per-image {strings, shape}."""
         if not self.fused:
-            return [self.compress(x[i : i + 1]) for i in range(x.shape[0])]
+            return self._compress_batch_multi(x)
         params = self.params
         b = x.shape[0]
         y, indices, _ = self._analyze(params, x)
@@ -348,14 +348,104 @@ class CompressionCodec:
             )
         return outs
 
+    def _compress_batch_multi(self, x) -> list[dict]:
+        """Batched compression on the multi-program path: the pass programs
+        run once on the [B, ...] batch; per-image streams split at pull."""
+        params = self.params
+        b = x.shape[0]
+        y, indices, hyper = self._analyze(params, x)
+        sym_list, idx_list = [], []
+        y_hat_prev = None
+        for i, (lo, hi) in enumerate(self._slice_bounds()):
+            means_a, idx_a, channel_ctx = self._pass_a[i](
+                params, hyper=hyper, y_hat_prev=y_hat_prev
+            )
+            sym_a = self._symbols(y, means_a, anchor=True, lo=lo, hi=hi)
+            anchor_half, means_na, idx_na = self._pass_b[i](
+                params, sym_a=sym_a, means_a_sq=means_a, hyper=hyper,
+                channel_ctx=channel_ctx,
+            )
+            sym_na = self._symbols(y, means_na, anchor=False, lo=lo, hi=hi)
+            y_hat_prev = self._pass_c(
+                params, sym_na=sym_na, means_na_sq=means_na,
+                anchor_half=anchor_half, y_hat_prev=y_hat_prev,
+            )
+            sym_list += [sym_a, sym_na]
+            idx_list += [idx_a, idx_na]
+        pulled = jax.device_get([indices] + sym_list + idx_list)
+        indices_np = pulled[0]
+        syms = pulled[1 : 1 + len(sym_list)]
+        idxs = pulled[1 + len(sym_list) :]
+        outs = []
+        for img in range(b):
+            enc = BufferedRansEncoder()
+            for s, ix in zip(syms, idxs):
+                enc.encode_with_indexes(s[img], ix[img])
+            outs.append(
+                {
+                    "strings": [
+                        [enc.flush(self.table)],
+                        [pack_uniform(indices_np[img], self.model.codebook_size)],
+                    ],
+                    "shape": (indices_np.shape[1], indices_np.shape[2]),
+                }
+            )
+        return outs
+
+    def _decompress_batch_multi(self, outs: list[dict]):
+        """Batched decode on the multi-program path: pass programs run on
+        the [B, ...] batch; each image's rANS stream is decoded per slice."""
+        params = self.params
+        b = len(outs)
+        zh, zw = outs[0]["shape"]
+        indices = np.stack(
+            [
+                unpack_uniform(
+                    o["strings"][1][0], zh * zw, self.model.codebook_size
+                ).reshape(zh, zw)
+                for o in outs
+            ]
+        )
+        hyper = self._hyper(params, jnp.asarray(indices))
+        decs = []
+        for o in outs:
+            d = RansDecoder()
+            d.set_stream(o["strings"][0][0])
+            decs.append(d)
+
+        def decode_rows(idx_np):
+            return np.stack(
+                [
+                    decs[i]
+                    .decode_stream(idx_np[i], self.table)
+                    .reshape(idx_np[i].shape)
+                    for i in range(b)
+                ]
+            ).astype(np.int32)
+
+        y_hat_prev = None
+        for i in range(self.model.slice_num):
+            means_a, idx_a, channel_ctx = self._pass_a[i](
+                params, hyper=hyper, y_hat_prev=y_hat_prev
+            )
+            sym_a = decode_rows(np.asarray(idx_a))
+            anchor_half, means_na, idx_na = self._pass_b[i](
+                params, sym_a=jnp.asarray(sym_a), means_a_sq=means_a,
+                hyper=hyper, channel_ctx=channel_ctx,
+            )
+            sym_na = decode_rows(np.asarray(idx_na))
+            y_hat_prev = self._pass_c(
+                params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
+                anchor_half=anchor_half, y_hat_prev=y_hat_prev,
+            )
+        for d in decs:
+            d.close()
+        return self._synthesize(params, y_hat_prev)
+
     def decompress_batch(self, outs: list[dict]):
         """list of per-image {strings, shape} -> (c_latent [B..], guide_hint)."""
         if not self.fused:
-            parts = [self.decompress(o["strings"], o["shape"]) for o in outs]
-            return (
-                jnp.concatenate([p[0] for p in parts]),
-                jnp.concatenate([p[1] for p in parts]),
-            )
+            return self._decompress_batch_multi(outs)
         params = self.params
         b = len(outs)
         zh, zw = outs[0]["shape"]

@@ -104,3 +104,23 @@ def test_batched_codec_matches_single(codec):
     np.testing.assert_allclose(
         np.asarray(c_b[0:1]), np.asarray(c_0), atol=1e-5
     )
+
+
+def test_batched_multiprogram_matches_fused_batch(codec):
+    """The multi-program batched path must produce identical per-image
+    streams to the fused batched path."""
+    from rdeic_tpu.pipeline.codec import CompressionCodec
+
+    fused = CompressionCodec(codec.model, codec.params, fused=True)
+    multi = CompressionCodec(codec.model, codec.params, fused=False)
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 8, 8, 8))
+    a = fused.compress_batch(x)
+    m = multi.compress_batch(x)
+    for i in range(2):
+        assert a[i]["strings"][1][0] == m[i]["strings"][1][0]
+    c_a, g_a = fused.decompress_batch(a)
+    c_m, g_m = multi.decompress_batch(m)
+    np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_m), atol=1e-5)
+    # multi batched self-consistency with multi single
+    c_s, _ = multi.decompress(m[0]["strings"], m[0]["shape"])
+    np.testing.assert_array_equal(np.asarray(c_m[0:1]), np.asarray(c_s))
