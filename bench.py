@@ -45,6 +45,13 @@ def _fast_random_params(model, image_hw, scale: float = 0.02):
 
 
 def main():
+    # persistent XLA compile cache: repeat bench runs skip the warmup compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/rdeic_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
     platform = jax.devices()[0].platform
     log(f"devices: {jax.devices()} (platform={platform})")
 
