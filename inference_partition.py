@@ -129,20 +129,19 @@ def main():
         for i in range(0, len(items), args.batch_size):
             chunk = items[i : i + args.batch_size]
             t0 = time.time()
-            # per-image compress/decompress (host rANS is serial per image)
-            c_latents, hints, bpps = [], [], []
-            for f, padded in chunk:
-                img01 = to_float01(padded)[None]
-                stream = out_dir / "bitstreams" / f"{Path(f).stem}.rdeic"
-                bpp = model.apply_condition_compress(
-                    params, jnp.asarray(img01), str(stream), H, W
-                )
-                cl, gh = model.apply_condition_decompress(params, str(stream))
-                c_latents.append(cl)
-                hints.append(gh)
-                bpps.append(bpp)
-            c_latent = jnp.concatenate(c_latents)
-            guide_hint = jnp.concatenate(hints)
+            # batched codec: one pass-program chain for the whole chunk,
+            # per-image independent bitstreams
+            imgs01 = jnp.asarray(
+                np.stack([to_float01(p) for _, p in chunk])
+            )
+            streams = [
+                str(out_dir / "bitstreams" / f"{Path(f).stem}.rdeic")
+                for f, _ in chunk
+            ]
+            bpps = model.apply_condition_compress_batch(params, imgs01, streams)
+            c_latent, guide_hint = model.apply_condition_decompress_batch(
+                params, streams
+            )
             if args.bf16:
                 c_latent = c_latent.astype(jnp.bfloat16)
                 guide_hint = guide_hint.astype(jnp.bfloat16)
