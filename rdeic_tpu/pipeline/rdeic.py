@@ -146,6 +146,7 @@ class RDEIC:
 
         self.channels = ctrl.get("in_channels", 4)
         self._codec: Optional[CompressionCodec] = None
+        self._codec_src = None
         self._jit_cache: dict = {}
 
     def set_compute_dtype(self, dtype) -> None:
@@ -464,7 +465,8 @@ class RDEIC:
     # real bitstream paths
     # ------------------------------------------------------------------
     def codec(self, params) -> CompressionCodec:
-        if self._codec is None or self._codec.params is not params:
+        if self._codec is None or self._codec_src is not params:
+            self._codec_src = params
             import os  # noqa: PLC0415
 
             from rdeic_tpu.pipeline.codec import host_callbacks_supported
