@@ -150,14 +150,17 @@ class NoiseSchedule:
         return self._tables[name]
 
     @cached_property
-    def _jnp_tables(self) -> dict:
-        out = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in self._tables.items()}
-        out["betas"] = jnp.asarray(self.betas, dtype=jnp.float32)
+    def _f32_tables(self) -> dict:
+        # numpy float32 (NOT jnp): materializing jnp arrays lazily inside a
+        # jit trace would cache tracers (leak); numpy constants embed safely
+        # into any trace.
+        out = {k: np.asarray(v, np.float32) for k, v in self._tables.items()}
+        out["betas"] = np.asarray(self.betas, np.float32)
         return out
 
-    def jtable(self, name: str) -> jnp.ndarray:
-        """float32 device table by name."""
-        return self._jnp_tables[name]
+    def jtable(self, name: str) -> np.ndarray:
+        """float32 table by name (numpy; embeds as a constant under jit)."""
+        return self._f32_tables[name]
 
     # ---- q(x_t | x_0) --------------------------------------------------
     def q_sample(self, x_start: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray):

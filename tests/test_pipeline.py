@@ -69,3 +69,15 @@ def test_ddim_sampler_path(model_and_params):
     img = fn(params, c_latent, guide_hint, jax.random.PRNGKey(12))
     assert img.shape == (1, 32, 32, 3)
     assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_retrace_different_batch_no_tracer_leak(model_and_params):
+    """Two different batch sizes through the same schedule must not leak
+    tracers from the lazily-built coefficient tables (regression)."""
+    model, params = model_and_params
+    fn = model.jitted_decode(steps=2)
+    for b in (1, 2):
+        c = jax.random.normal(jax.random.PRNGKey(b), (b, 16, 16, 4))
+        g = jax.random.normal(jax.random.PRNGKey(b + 10), (b, 16, 16, 8))
+        out = fn(params, c, g, jax.random.PRNGKey(b + 20))
+        assert out.shape[0] == b
