@@ -391,7 +391,10 @@ def convert_state_dict(
     import jax.numpy as jnp  # noqa: PLC0415
 
     sd = normalize_state_dict(state_dict)
-    dec_pos = dec_upsample_positions(model)
+    try:
+        dec_pos = dec_upsample_positions(model)
+    except AttributeError:
+        dec_pos = {}  # no denoiser in this model (e.g. VAE-only conversion)
     flat = flatten_dict(params_template)
     out = {}
     missing = []
