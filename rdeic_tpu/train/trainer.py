@@ -25,6 +25,7 @@ from flax import struct
 from flax.traverse_util import flatten_dict, unflatten_dict
 
 from rdeic_tpu.models.compression import vq_codebook_update
+from rdeic_tpu.train.ema import ema_init, ema_update
 from rdeic_tpu.parallel import mesh as mesh_lib
 
 
@@ -71,6 +72,7 @@ class TrainState(struct.PyTreeNode):
     frozen_params: Any
     opt_state: Any
     rng: jax.Array
+    ema_params: Any = None  # shadow of train_params when EMA is enabled
 
 
 @dataclasses.dataclass
@@ -81,6 +83,8 @@ class Trainer:
     learning_rate: Optional[float] = None
     accumulate_grad_batches: int = 1
     weight_decay: float = 0.01
+    use_ema: bool = False  # LitEma parity (off in reference configs)
+    ema_decay: float = 0.9999
     mesh: Any = None  # jax.sharding.Mesh or None for single-device
 
     def __post_init__(self):
@@ -101,6 +105,7 @@ class Trainer:
             frozen_params=frozen,
             opt_state=opt_state,
             rng=rng,
+            ema_params=ema_init(train) if self.use_ema else None,
         )
 
     # ------------------------------------------------------------------
@@ -138,12 +143,18 @@ class Trainer:
             frozen = dict(state.frozen_params)
             frozen["vq_embed_prob"] = new_prob
 
+            ema_params = state.ema_params
+            if self.use_ema and ema_params is not None:
+                ema_params = ema_update(
+                    ema_params, train_params, self.ema_decay, state.step
+                )
             new_state = TrainState(
                 step=state.step + 1,
                 train_params=train_params,
                 frozen_params=frozen,
                 opt_state=opt_state,
                 rng=rng,
+                ema_params=ema_params,
             )
             logs = dict(logs)
             logs["grad_norm"] = optax.global_norm(grads)
