@@ -43,6 +43,10 @@ def process_single(model, params, path, out_dir, steps, sampler, rng):
 
 
 def main():
+    from rdeic_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", type=str, required=True)
     ap.add_argument("--config", type=str, default="configs/model/rdeic.yaml")

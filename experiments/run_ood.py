@@ -27,6 +27,10 @@ from rdeic_tpu.utils.metrics import MetricSuite  # noqa: E402
 
 
 def main():
+    from rdeic_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", type=str, required=True)
     ap.add_argument("--config", type=str, default="configs/model/rdeic.yaml")

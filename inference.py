@@ -33,6 +33,10 @@ def process(model, params, img01, sampler, steps, stream_path, guidance_scale, r
 
 
 def main():
+    from rdeic_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", type=str, required=True,
                     help="params checkpoint (.npz from the converter/trainer)")

@@ -65,6 +65,10 @@ def generate_captions(files, model_id, device):
 
 
 def main():
+    from rdeic_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", type=str, required=True)
     ap.add_argument("--config", type=str, default="configs/model/rdeic.yaml")
@@ -87,6 +91,8 @@ def main():
     args = ap.parse_args()
 
     model = instantiate_from_config(load_yaml(args.config))
+    if args.bf16:
+        model.set_compute_dtype(jnp.bfloat16)
     params = load_params_npz(args.ckpt)
     metrics = MetricSuite()
     psnr_f = metrics.create_metric("psnr")
@@ -142,9 +148,6 @@ def main():
             c_latent, guide_hint = model.apply_condition_decompress_batch(
                 params, streams
             )
-            if args.bf16:
-                c_latent = c_latent.astype(jnp.bfloat16)
-                guide_hint = guide_hint.astype(jnp.bfloat16)
             # micro-batched sampling
             outs = []
             fn = model.jitted_decode(
@@ -156,8 +159,8 @@ def main():
                 outs.append(
                     fn(
                         params,
-                        c_latent[j : j + micro].astype(jnp.float32),
-                        guide_hint[j : j + micro].astype(jnp.float32),
+                        c_latent[j : j + micro],
+                        guide_hint[j : j + micro],
                         sub,
                     )
                 )

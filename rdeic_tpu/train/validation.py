@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rdeic_tpu.train.callbacks import log_images
+from rdeic_tpu.train.callbacks import _log_inputs_fn
 from rdeic_tpu.utils.metrics import MetricSuite
 
 
@@ -23,19 +23,28 @@ def run_validation(
     fns = {n: suite.create_metric(n) for n in metric_names}
     usage = np.zeros(model.compression.codebook_size, dtype=np.int64)
     rows = []
+    bits_per_idx = max(
+        1, int(np.ceil(np.log2(model.compression.codebook_size)))
+    )
+    steps = model.fixed_step if model.is_refine else sample_steps
     for i, batch in enumerate(loader):
         if max_batches and i >= max_batches:
             break
         img = jnp.asarray(batch["jpg"], jnp.float32)
         rng, sub, sub2 = jax.random.split(rng, 3)
-        # codebook usage from the eval-mode forward
-        _, cond = model.get_input(params, img, sub2, training=False)
-        idx = np.asarray(cond["vq_indices"]).reshape(-1)
+        c_latent, guide_hint, _, q_bpp, vq_indices, _ = _log_inputs_fn(model)(
+            params, img, sub2
+        )
+        idx = np.asarray(vq_indices).reshape(-1)
         np.add.at(usage, idx, 1)
-        log, bpp = log_images(model, params, np.asarray(img), sub,
-                              sample_steps=sample_steps)
-        a = jnp.asarray(log["target"], jnp.float32)
-        b = jnp.asarray(log["samples"], jnp.float32)
+        zh, zw = vq_indices.shape[1:3]
+        n_pix = img.shape[1] * img.shape[2]
+        bpp = float(q_bpp) + bits_per_idx * zh * zw / n_pix
+        samples01 = model.jitted_decode(steps=steps)(
+            params, c_latent, guide_hint, sub
+        )
+        a = (img + 1) / 2
+        b = jnp.asarray(samples01, jnp.float32)
         row = {"bpp": bpp}
         for n, fn in fns.items():
             try:

@@ -55,6 +55,10 @@ class MetricLogger:
 
 
 def main():
+    from rdeic_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, required=True)
     ap.add_argument("--max_steps", type=int, default=None)
