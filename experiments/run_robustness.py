@@ -152,10 +152,10 @@ def main():
                     "psnr", "ms_ssim", "lpips"])
         for (t, m, s), rs in sorted(summary.items()):
             fail = float(np.mean([r["decode_failed"] for r in rs]))
-            stats = [
-                float(np.nanmean([r.get(n, np.nan) for r in rs]))
-                for n in ("psnr", "ms_ssim", "lpips")
-            ]
+            stats = []
+            for n in ("psnr", "ms_ssim", "lpips"):
+                vals = [r[n] for r in rs if n in r and np.isfinite(r[n])]
+                stats.append(float(np.mean(vals)) if vals else float("nan"))
             w.writerow([t, m, s, len(rs), fail] + stats)
     print(f"wrote {out_dir}/robustness_results.csv and summary")
 

@@ -81,3 +81,20 @@ def test_retrace_different_batch_no_tracer_leak(model_and_params):
         g = jax.random.normal(jax.random.PRNGKey(b + 10), (b, 16, 16, 8))
         out = fn(params, c, g, jax.random.PRNGKey(b + 20))
         assert out.shape[0] == b
+
+
+def test_cfg_guidance_path(model_and_params):
+    """Classifier-free guidance runs the base-UNet-only unconditional branch
+    (rdeic.py:700-709) inside the scan."""
+    model, params = model_and_params
+    c_latent = jax.random.normal(jax.random.PRNGKey(30), (1, 16, 16, 4))
+    guide_hint = jax.random.normal(jax.random.PRNGKey(31), (1, 16, 16, 8))
+    fn = model.jitted_decode(steps=2, guidance_scale=2.0)
+    img = fn(params, c_latent, guide_hint, jax.random.PRNGKey(32))
+    assert img.shape == (1, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
+    # guidance must change the output vs scale 1.0
+    base = model.jitted_decode(steps=2)(
+        params, c_latent, guide_hint, jax.random.PRNGKey(32)
+    )
+    assert not np.allclose(np.asarray(img), np.asarray(base))
