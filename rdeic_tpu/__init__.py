@@ -14,3 +14,10 @@ reference (relay residual diffusion extreme image compression, TCSVT 2024/25):
 """
 
 __version__ = "0.1.0"
+
+from rdeic_tpu.registry import instantiate_from_config, load_yaml  # noqa: E402,F401
+
+
+def load_model(config_path: str):
+    """Convenience: YAML path -> RDEIC instance."""
+    return instantiate_from_config(load_yaml(config_path))
