@@ -87,14 +87,35 @@ def test_cfg_guidance_path(model_and_params):
     """Classifier-free guidance runs the base-UNet-only unconditional branch
     (rdeic.py:700-709) inside the scan."""
     model, params = model_and_params
+    # at init every zero conv is zero => conditional == unconditional
+    # (the ControlNet property); perturb one bridge so control has effect
+
+    # (the UNet's final conv is ALSO zero-init, SD zero_module style, so the
+    # raw eps is 0 at init — perturb it too)
+    params = dict(params)
+    den = dict(params["denoiser"])
+    den["middle_block_out"] = {
+        "kernel": jnp.ones_like(den["middle_block_out"]["kernel"]) * 0.05,
+        "bias": den["middle_block_out"]["bias"],
+    }
+    base = dict(den["base"])
+    base["out_conv"] = {
+        "kernel": jax.random.normal(
+            jax.random.PRNGKey(99), base["out_conv"]["kernel"].shape
+        )
+        * 0.05,
+        "bias": base["out_conv"]["bias"],
+    }
+    den["base"] = base
+    params["denoiser"] = den
     c_latent = jax.random.normal(jax.random.PRNGKey(30), (1, 16, 16, 4))
     guide_hint = jax.random.normal(jax.random.PRNGKey(31), (1, 16, 16, 8))
     fn = model.jitted_decode(steps=2, guidance_scale=2.0)
     img = fn(params, c_latent, guide_hint, jax.random.PRNGKey(32))
     assert img.shape == (1, 32, 32, 3)
     assert np.all(np.isfinite(np.asarray(img)))
-    # guidance must change the output vs scale 1.0
-    base = model.jitted_decode(steps=2)(
+    # guidance must change the output vs scale 1.0 once control is non-zero
+    plain = model.jitted_decode(steps=2)(
         params, c_latent, guide_hint, jax.random.PRNGKey(32)
     )
-    assert not np.allclose(np.asarray(img), np.asarray(base))
+    assert not np.allclose(np.asarray(img), np.asarray(plain))
