@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from typing import Any
+
 from rdeic_tpu.models.blocks import Conv
 from rdeic_tpu.ops.attention import sdp_attention
 
@@ -35,58 +37,70 @@ class Normalize(nn.Module):
         from rdeic_tpu.models.blocks import find_denominator
 
         groups = find_denominator(x.shape[-1], 32)
-        return nn.GroupNorm(num_groups=groups, epsilon=1e-6)(x)
+        orig = x.dtype
+        out = nn.GroupNorm(num_groups=groups, epsilon=1e-6)(
+            x.astype(jnp.float32)
+        )
+        return out.astype(orig)
 
 
 class ResnetBlock(nn.Module):
     out_ch: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = Normalize(name="norm1")(x)
         h = swish(h)
-        h = Conv(self.out_ch, kernel=3, name="conv1")(h)
+        h = Conv(self.out_ch, kernel=3, dtype=self.dtype, name="conv1")(h)
         h = Normalize(name="norm2")(h)
         h = swish(h)
-        h = Conv(self.out_ch, kernel=3, name="conv2")(h)
+        h = Conv(self.out_ch, kernel=3, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
-            x = Conv(self.out_ch, kernel=1, name="nin_shortcut")(x)
+            x = Conv(self.out_ch, kernel=1, dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
 
 
 class AttnBlock(nn.Module):
     """Single-head full self-attention over the spatial grid."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         hidden = Normalize(name="norm")(x)
-        q = Conv(c, kernel=1, name="q")(hidden).reshape(b, h * w, c)
-        k = Conv(c, kernel=1, name="k")(hidden).reshape(b, h * w, c)
-        v = Conv(c, kernel=1, name="v")(hidden).reshape(b, h * w, c)
+        q = Conv(c, kernel=1, dtype=self.dtype, name="q")(hidden).reshape(b, h * w, c)
+        k = Conv(c, kernel=1, dtype=self.dtype, name="k")(hidden).reshape(b, h * w, c)
+        v = Conv(c, kernel=1, dtype=self.dtype, name="v")(hidden).reshape(b, h * w, c)
         out = sdp_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
         out = out.reshape(b, h, w, c)
-        return x + Conv(c, kernel=1, name="proj_out")(out)
+        return x + Conv(c, kernel=1, dtype=self.dtype, name="proj_out")(out)
 
 
 class Downsample(nn.Module):
     """Stride-2 conv with asymmetric (0,1) padding, as in the SD VAE."""
+
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
         return nn.Conv(
-            c, (3, 3), strides=(2, 2), padding="VALID", name="conv"
+            c, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype,
+            name="conv",
         )(x)
 
 
 class Upsample(nn.Module):
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
-        return Conv(c, kernel=3, name="conv")(x)
+        return Conv(c, kernel=3, dtype=self.dtype, name="conv")(x)
 
 
 class VAEEncoder(nn.Module):
@@ -95,6 +109,7 @@ class VAEEncoder(nn.Module):
     num_res_blocks: int = 2
     z_channels: int = 4
     double_z: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, return_feature: bool = False):
@@ -103,20 +118,21 @@ class VAEEncoder(nn.Module):
         return_feature=True also returns the 512-ch pre-conv_out feature
         (the `c` of the fork's forward_hc).
         """
-        h = Conv(self.ch, kernel=3, name="conv_in")(x)
+        dt = self.dtype
+        h = Conv(self.ch, kernel=3, dtype=dt, name="conv_in")(x)
         for i, mult in enumerate(self.ch_mult):
             for j in range(self.num_res_blocks):
-                h = ResnetBlock(self.ch * mult, name=f"down_{i}_block_{j}")(h)
+                h = ResnetBlock(self.ch * mult, dt, name=f"down_{i}_block_{j}")(h)
             if i != len(self.ch_mult) - 1:
-                h = Downsample(name=f"down_{i}_downsample")(h)
-        h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
-        h = AttnBlock(name="mid_attn_1")(h)
-        h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
+                h = Downsample(dt, name=f"down_{i}_downsample")(h)
+        h = ResnetBlock(h.shape[-1], dt, name="mid_block_1")(h)
+        h = AttnBlock(dt, name="mid_attn_1")(h)
+        h = ResnetBlock(h.shape[-1], dt, name="mid_block_2")(h)
         h = Normalize(name="norm_out")(h)
         h = swish(h)
-        feature = h
+        feature = h.astype(jnp.float32)  # compression input stays fp32
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
-        moments = Conv(out_ch, kernel=3, name="conv_out")(h)
+        moments = Conv(out_ch, kernel=3, name="conv_out")(h.astype(jnp.float32))
         if return_feature:
             return moments, feature
         return moments
@@ -127,23 +143,25 @@ class VAEDecoder(nn.Module):
     ch_mult: Sequence[int] = (1, 2, 4, 4)
     num_res_blocks: int = 2
     out_ch: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z):
+        dt = self.dtype
         block_in = self.ch * self.ch_mult[-1]
-        h = Conv(block_in, kernel=3, name="conv_in")(z)
-        h = ResnetBlock(block_in, name="mid_block_1")(h)
-        h = AttnBlock(name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, name="mid_block_2")(h)
+        h = Conv(block_in, kernel=3, dtype=dt, name="conv_in")(z)
+        h = ResnetBlock(block_in, dt, name="mid_block_1")(h)
+        h = AttnBlock(dt, name="mid_attn_1")(h)
+        h = ResnetBlock(block_in, dt, name="mid_block_2")(h)
         for i in reversed(range(len(self.ch_mult))):
             out = self.ch * self.ch_mult[i]
             for j in range(self.num_res_blocks + 1):
-                h = ResnetBlock(out, name=f"up_{i}_block_{j}")(h)
+                h = ResnetBlock(out, dt, name=f"up_{i}_block_{j}")(h)
             if i != 0:
-                h = Upsample(name=f"up_{i}_upsample")(h)
+                h = Upsample(dt, name=f"up_{i}_upsample")(h)
         h = Normalize(name="norm_out")(h)
         h = swish(h)
-        return Conv(self.out_ch, kernel=3, name="conv_out")(h)
+        return Conv(self.out_ch, kernel=3, name="conv_out")(h.astype(jnp.float32))
 
 
 class AutoencoderKL(nn.Module):
@@ -153,15 +171,16 @@ class AutoencoderKL(nn.Module):
     ch: int = 128
     ch_mult: Sequence[int] = (1, 2, 4, 4)
     num_res_blocks: int = 2
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.encoder = VAEEncoder(
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
-            z_channels=self.embed_dim, name="encoder",
+            z_channels=self.embed_dim, dtype=self.dtype, name="encoder",
         )
         self.decoder = VAEDecoder(
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
-            name="decoder",
+            dtype=self.dtype, name="decoder",
         )
         self.quant_conv = Conv(2 * self.embed_dim, kernel=1, name="quant_conv")
         self.post_quant_conv = Conv(self.embed_dim, kernel=1, name="post_quant_conv")

@@ -157,6 +157,7 @@ class RDEIC:
         GroupNorm/softmax stay fp32 inside the modules.
         """
         self.denoiser = self.denoiser.clone(dtype=dtype)
+        self.vae = self.vae.clone(dtype=dtype)
         self._jit_cache.clear()
 
     # ------------------------------------------------------------------
