@@ -82,6 +82,9 @@ def main():
     ap.add_argument("--guidance_scale", type=float, default=1.0)
     ap.add_argument("--use_captions", action="store_true")
     ap.add_argument("--caption_model", type=str, default="Qwen/Qwen2-VL-2B-Instruct")
+    ap.add_argument("--bpe_vocab", type=str, default=None,
+                    help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz); "
+                         "required to embed captions")
     ap.add_argument("--bf16", action="store_true", help="bf16 sampling")
     ap.add_argument("--max_size", type=int, default=0,
                     help="resize guard: downscale long side to this before "
@@ -109,6 +112,11 @@ def main():
         if args.use_captions
         else {f: "" for f in files}
     )
+    tokenizer = None
+    if args.use_captions and args.bpe_vocab and "clip" in params:
+        from rdeic_tpu.models.clip import SimpleTokenizer  # noqa: PLC0415
+
+        tokenizer = SimpleTokenizer(args.bpe_vocab)
 
     # ---- group by padded resolution (recompile-avoidance on TPU) ----
     groups = defaultdict(list)
@@ -154,6 +162,11 @@ def main():
                 steps=args.steps, sampler=args.sampler,
                 guidance_scale=args.guidance_scale,
             )
+            context = None
+            if tokenizer is not None:
+                texts = [captions.get(f, "") for f, _ in chunk]
+                tokens = jnp.asarray(tokenizer.tokenize(texts))
+                context = model.get_learned_conditioning(params, tokens)
             for j in range(0, c_latent.shape[0], micro):
                 rng, sub = jax.random.split(rng)
                 outs.append(
@@ -162,6 +175,8 @@ def main():
                         c_latent[j : j + micro],
                         guide_hint[j : j + micro],
                         sub,
+                        context=None if context is None
+                        else context[j : j + micro],
                     )
                 )
             out = np.concatenate([np.asarray(o) for o in outs])
