@@ -119,12 +119,36 @@ class MetricSuite:
             return self._jit(name, mae)
         if name == "lpips":
             return self._lpips()
+        if name == "niqe":
+            return self._niqe(opts.get("model_path"))
         raise ValueError(f"unknown metric {name!r}")
 
     def _jit(self, name, fn):
         if name not in self._jitted:
             self._jitted[name] = jax.jit(fn)
         return self._jitted[name]
+
+    def _niqe(self, model_path):
+        """No-reference NIQE; needs a fitted pristine model
+        (rdeic_tpu.utils.niqe.NIQEModel.fit_pristine / .save)."""
+        if "niqe" in self._jitted:
+            return self._jitted["niqe"]
+        from rdeic_tpu.utils.niqe import NIQEModel  # noqa: PLC0415
+
+        if model_path is None:
+            raise ValueError(
+                "niqe requires model_path= (fit one with NIQEModel.fit_pristine)"
+            )
+        model = NIQEModel.load(model_path)
+
+        def fn(a, b=None):  # single-input metric; b ignored for API parity
+            import numpy as _np  # noqa: PLC0415
+
+            arr = _np.asarray(a)
+            return jnp.asarray([model.score(im) for im in arr])
+
+        self._jitted["niqe"] = fn
+        return fn
 
     def _lpips(self):
         if "lpips" in self._jitted:

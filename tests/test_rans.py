@@ -107,3 +107,17 @@ def test_pack_uniform_roundtrip():
     assert len(data) == int(np.ceil(257 * 14 / 8))
     out = unpack_uniform(data, 257, 16384)
     np.testing.assert_array_equal(out, idx)
+
+
+def test_bitstream_format_stability(table):
+    """Golden bytes: the rANS stream format must stay stable across
+    versions (a format change would break previously written files)."""
+    symbols = np.array([0, 1, -1, 2, -2, 5, -17, 100000, 0, 3], np.int32)
+    indexes = np.array([0, 5, 10, 20, 30, 40, 50, 60, 63, 32], np.int32)
+    stream = rans_encode(symbols, indexes, table)
+    assert stream.hex() == rans_encode(symbols, indexes, table).hex()
+    # frozen golden value (update ONLY with a deliberate format bump)
+    golden = "0b92d93c846f18a030d935a2ede37a69"
+    import hashlib
+
+    assert hashlib.md5(stream).hexdigest() == golden, stream.hex()
