@@ -130,7 +130,9 @@ def main():
 
     # batched path: B images per entropy-program execution (Kodak-style
     # batch); per-image bitstreams stay independent
-    B = 2 if platform == "cpu" else 8
+    import os as _os2
+
+    B = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_BATCH", "8"))
     imgs = jnp.tile(img01, (B, 1, 1, 1))
     paths = [str(tmp / f"b{i}.rdeic") for i in range(B)]
     fn_b = model.jitted_decode(steps=2)

@@ -89,3 +89,27 @@ def params_shardings(params, mesh: Mesh):
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(spec_of, params)
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host initialization (DCN multi-slice; no-op on a single host).
+
+    TPU pods set the coordinator automatically from the environment;
+    explicit args support manual DCN setups.
+    """
+    import jax  # noqa: PLC0415
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            jax.distributed.initialize()
+    except Exception:
+        pass  # single-process environment

@@ -114,12 +114,19 @@ def tiled_decompress_decode(
         rng, sub = jax.random.split(rng)
         cl = c_latent[j : j + bs]
         gh = guide_hint[j : j + bs]
+        real = cl.shape[0]
         if mesh is not None:
             from rdeic_tpu.parallel.mesh import batch_sharding  # noqa: PLC0415
 
+            # pad the tile batch to a multiple of the dp axis
+            dp = mesh.shape["dp"]
+            padn = (-real) % dp
+            if padn:
+                cl = jnp.concatenate([cl, jnp.tile(cl[-1:], (padn, 1, 1, 1))])
+                gh = jnp.concatenate([gh, jnp.tile(gh[-1:], (padn, 1, 1, 1))])
             cl = jax.device_put(cl, batch_sharding(mesh))
             gh = jax.device_put(gh, batch_sharding(mesh))
-        outs.append(np.asarray(fn(params, cl, gh, sub)))
+        outs.append(np.asarray(fn(params, cl, gh, sub))[:real])
     recon_tiles = np.concatenate(outs)
 
     ph = -(-H // 64) * 64

@@ -30,3 +30,21 @@ def test_tiled_roundtrip(tmp_path):
     assert out.shape == (1, 64, 96, 3)
     assert np.all(np.isfinite(out))
     assert out.min() >= 0 and out.max() <= 1
+
+
+@pytest.mark.slow
+def test_tiled_decode_with_mesh(tmp_path):
+    """Tile batch sharded over the dp mesh axis (multi-chip decode path)."""
+    from rdeic_tpu.parallel.mesh import make_mesh
+
+    model = micro_rdeic()
+    params = model.init_params(jax.random.PRNGKey(0), image_hw=(64, 64))
+    img = np.random.default_rng(1).uniform(0, 1, (1, 64, 128, 3)).astype("f4")
+    stream = str(tmp_path / "tiled_mesh.rdeic")
+    tiled.tiled_compress(model, params, img, stream, tile=64, overlap=32)
+    mesh = make_mesh(dp=8, tp=1)
+    out = tiled.tiled_decompress_decode(
+        model, params, stream, jax.random.PRNGKey(2), steps=2, mesh=mesh
+    )
+    assert out.shape == (1, 64, 128, 3)
+    assert np.all(np.isfinite(out))
