@@ -23,7 +23,6 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 from experiments.corruptors import Corruptor  # noqa: E402
 from rdeic_tpu.data.dataset import list_image_files  # noqa: E402
 from rdeic_tpu.registry import instantiate_from_config, load_yaml  # noqa: E402
-from rdeic_tpu.utils.bitstream import read_body, write_body  # noqa: E402
 from rdeic_tpu.utils.checkpoint_io import load_params_npz  # noqa: E402
 from rdeic_tpu.utils.image import pad, to_float01, to_uint8  # noqa: E402
 from rdeic_tpu.utils.metrics import MetricSuite  # noqa: E402

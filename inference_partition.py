@@ -25,7 +25,6 @@ import numpy as np
 from PIL import Image
 
 from rdeic_tpu.data.dataset import list_image_files
-from rdeic_tpu.models.clip import tokenize_empty
 from rdeic_tpu.registry import instantiate_from_config, load_yaml
 from rdeic_tpu.utils.checkpoint_io import load_params_npz
 from rdeic_tpu.utils.image import pad, to_float01, to_uint8

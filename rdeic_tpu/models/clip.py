@@ -16,14 +16,12 @@ from __future__ import annotations
 import gzip
 import html
 from functools import lru_cache
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from rdeic_tpu.ops.attention import sdp_attention
 
 SOT_TOKEN = 49406
 EOT_TOKEN = 49407
@@ -177,11 +175,9 @@ class SimpleTokenizer:
         import re  # noqa: PLC0415
 
         text = html.unescape(html.unescape(text)).strip().lower()
-        pat = re.compile(
-            r"<start_of_text>|<end_of_text>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-            if False
-            else r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-        )
+        # ASCII approximation of CLIP's unicode word pattern (\p classes
+        # need the `regex` module, which is not installed)
+        pat = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+")
         tokens = []
         for tok in re.findall(pat, text):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))

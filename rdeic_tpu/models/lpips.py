@@ -7,8 +7,6 @@ random init is used in tests.
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ the whole denoiser is a single jittable function of (x, t, context, hint).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -30,7 +30,7 @@ from rdeic_tpu.models.blocks import (
     timestep_embedding,
     zero_init_conv,
 )
-from rdeic_tpu.ops.attention import attention, sdp_attention
+from rdeic_tpu.ops.attention import attention
 
 
 class TimeEmbed(nn.Module):

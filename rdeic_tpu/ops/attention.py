@@ -7,8 +7,6 @@ CPU and as a reference implementation.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

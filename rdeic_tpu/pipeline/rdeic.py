@@ -29,7 +29,7 @@ import numpy as np
 from rdeic_tpu.diffusion import ddim as ddim_lib
 from rdeic_tpu.diffusion import spaced as spaced_lib
 from rdeic_tpu.diffusion.schedule import NoiseSchedule
-from rdeic_tpu.models.clip import OpenCLIPTextEncoder, tokenize_empty
+from rdeic_tpu.models.clip import OpenCLIPTextEncoder
 from rdeic_tpu.models.compression import CompressionModel
 from rdeic_tpu.models.lpips import LPIPS
 from rdeic_tpu.models.unet import NoiseEstimator

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import struct
 from pathlib import Path
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,6 @@ the TPU replacements:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax

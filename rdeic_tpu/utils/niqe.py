@@ -14,8 +14,6 @@ them, so the metric is fully self-contained.
 from __future__ import annotations
 
 import math
-from pathlib import Path
-
 import numpy as np
 from scipy.ndimage import gaussian_filter
 
