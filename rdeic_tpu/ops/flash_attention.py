@@ -54,8 +54,32 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+@jax.custom_vjp
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
+    """q/k/v: [B, L, H, D] -> [B, L, H, D]. Pallas forward; the backward
+    pass recomputes attention through the XLA path (same memory profile as
+    standard attention-with-recompute; a dedicated backward kernel is a
+    later optimization)."""
+    return _flash_forward(q, k, v)
+
+
+def _flash_fwd(q, k, v):
+    return _flash_forward(q, k, v), (q, k, v)
+
+
+def _flash_bwd(res, g):
+    from rdeic_tpu.ops.attention import sdp_attention  # noqa: PLC0415
+
+    q, k, v = res
+    _, vjp = jax.vjp(sdp_attention, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(
+def _flash_forward(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
