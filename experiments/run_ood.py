@@ -44,6 +44,15 @@ def main():
                     help=">1 enables noise-draw test-time augmentation: "
                          "keep the sample with the best LPIPS")
     ap.add_argument("--seed", type=int, default=231)
+    ap.add_argument("--nr_metrics", action="store_true",
+                    help="also compute no-reference NIQE + BRISQUE columns "
+                         "(parity: reference run_ood.py:93-129)")
+    ap.add_argument("--niqe_model", type=str, default=None,
+                    help="fitted NIQE pristine model .npz; default: fit "
+                         "from the input originals of this domain")
+    ap.add_argument("--brisque_model", type=str, default=None,
+                    help="fitted BRISQUE pristine model .npz; default: fit "
+                         "from the input originals of this domain")
     args = ap.parse_args()
 
     model = instantiate_from_config(load_yaml(args.config))
@@ -60,6 +69,35 @@ def main():
         files = list_image_files(str(p))
     if args.num_images:
         files = files[: args.num_images]
+
+    nr_models = {}
+    if args.nr_metrics:
+        from rdeic_tpu.utils.brisque import BRISQUEModel  # noqa: PLC0415
+        from rdeic_tpu.utils.niqe import NIQEModel  # noqa: PLC0415
+
+        if args.niqe_model:
+            nr_models["niqe"] = NIQEModel.load(args.niqe_model)
+        if args.brisque_model:
+            nr_models["brisque"] = BRISQUEModel.load(args.brisque_model)
+        missing = [n for n in ("niqe", "brisque") if n not in nr_models]
+        if missing:
+            # Self-fit pristine statistics from this domain's originals:
+            # the in-domain clean images ARE the naturalness reference the
+            # reconstructions should match.
+            pristine = []
+            for f in files[:24]:
+                arr = np.array(Image.open(f).convert("RGB"), np.float64) / 255.0
+                if min(arr.shape[:2]) >= 96:
+                    pristine.append(arr)
+            if pristine:
+                if "niqe" in missing:
+                    nr_models["niqe"] = NIQEModel.fit_pristine(pristine)
+                if "brisque" in missing:
+                    nr_models["brisque"] = BRISQUEModel.fit_pristine(pristine)
+                print(f"fitted pristine {missing} models from "
+                      f"{len(pristine)} domain originals")
+            else:
+                print(f"WARNING: no images >=96px to fit {missing}; skipping")
 
     out_dir = Path(args.output) / args.domain
     (out_dir / "bitstreams").mkdir(parents=True, exist_ok=True)
@@ -96,6 +134,11 @@ def main():
         for n, fn in fns.items():
             try:
                 row[n] = float(fn(ref, b)[0])
+            except Exception:
+                row[n] = float("nan")
+        for n, m in nr_models.items():
+            try:
+                row[n] = m.score(np.asarray(recon, np.float64) / 255.0)
             except Exception:
                 row[n] = float("nan")
         rows.append(row)

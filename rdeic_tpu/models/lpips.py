@@ -7,11 +7,63 @@ random init is used in tests.
 """
 from __future__ import annotations
 
+import warnings
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 _SHIFT = jnp.array([-0.030, -0.088, -0.188])
 _SCALE = jnp.array([0.458, 0.448, 0.450])
+
+_warned_contexts: set = set()
+
+
+def warn_random_backbone(context: str) -> None:
+    """Loud, once-per-context warning that LPIPS runs on a RANDOM backbone.
+
+    No pretrained AlexNet/VGG feature weights exist in this environment
+    (zero egress; torchvision absent). The published lpips .pth files bundle
+    only the 1x1 "lin" heads — the backbone they calibrate is missing, so any
+    LPIPS value computed here is an arbitrary random-projection distance:
+    usable for relative/smoke comparisons within one run, NOT comparable to
+    published LPIPS numbers (reference model/rdeic.py:653 uses the real net).
+    """
+    if context in _warned_contexts:
+        return
+    _warned_contexts.add(context)
+    warnings.warn(
+        f"LPIPS[{context}]: backbone weights are RANDOM-INIT — values are "
+        "not comparable to published LPIPS numbers. Load a pretrained "
+        "AlexNet/VGG backbone (none available in this sandbox) for real "
+        "perceptual scores.",
+        stacklevel=3,
+    )
+
+
+def load_lin_weights_torch(params: dict, pth_path: str) -> dict:
+    """Merge the published LPIPS linear-head weights into a params tree.
+
+    The reference ships `weight/lpips/{alex,vgg}.pth` containing ONLY the
+    five 1x1 `lin{i}.model.1.weight` convs (the learned per-channel
+    calibration); this loads them onto our Flax layout. The backbone stays
+    whatever it already is in `params` (see warn_random_backbone).
+    Torch layout (1, C, 1, 1) -> Flax Conv kernel (1, 1, C, 1).
+    """
+    import numpy as np  # noqa: PLC0415
+    import torch  # noqa: PLC0415
+
+    sd = torch.load(pth_path, map_location="cpu")
+    out = dict(params)
+    for i in range(5):
+        w = sd[f"lin{i}.model.1.weight"].numpy()  # (1, C, 1, 1)
+        kernel = np.transpose(w, (2, 3, 1, 0))  # (1, 1, C, 1)
+        have = np.asarray(params[f"lin{i}"]["kernel"])
+        if have.shape != kernel.shape:
+            raise ValueError(
+                f"lin{i} shape mismatch: params {have.shape} vs pth {kernel.shape}"
+            )
+        out[f"lin{i}"] = {"kernel": jnp.asarray(kernel)}
+    return out
 
 
 def _normalize(x, eps=1e-10):

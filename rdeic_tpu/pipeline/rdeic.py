@@ -199,6 +199,9 @@ class RDEIC:
         if include_lpips is None:
             include_lpips = self.is_refine
         if include_lpips:
+            from rdeic_tpu.models.lpips import warn_random_backbone  # noqa: PLC0415
+
+            warn_random_backbone("RDEIC.init_params")
             probe = jnp.zeros((1, 64, 64, 3))
             params["lpips"] = self.lpips.init(ks[3], probe, probe)["params"]
         return params
@@ -466,8 +469,13 @@ class RDEIC:
     # real bitstream paths
     # ------------------------------------------------------------------
     def codec(self, params) -> CompressionCodec:
-        if self._codec is None or self._codec_src is not params:
-            self._codec_src = params
+        # Cache on the COMPRESSION subtree identity, not the whole params
+        # pytree: train steps produce fresh outer dicts every step, but
+        # frozen-compression eval keeps the same subtree object — rebuilding
+        # CdfTable + re-jitting 20+ pass programs there is a latency trap.
+        comp = params["compression"]
+        if self._codec is None or self._codec_src is not comp:
+            self._codec_src = comp
             import os  # noqa: PLC0415
 
             from rdeic_tpu.pipeline.codec import host_callbacks_supported

@@ -52,7 +52,10 @@ def tiled_compress(
     tile: int = 512, overlap: int = 64,
 ) -> float:
     """img01: [1, H, W, 3] in [0,1], H/W arbitrary. Returns total bpp."""
-    assert tile % 64 == 0 and overlap % 2 == 0
+    if tile % 64 != 0:
+        raise ValueError(f"tile must be a multiple of 64, got {tile}")
+    if overlap % 2 != 0:
+        raise ValueError(f"overlap must be even, got {overlap}")
     H, W = img01.shape[1:3]
     padded = pad(np.asarray(img01), 64)
     ph, pw = padded.shape[1:3]
@@ -92,7 +95,11 @@ def tiled_decompress_decode(
     (meta,) = strings[0]
     H, W, tile, overlap, n_th, n_tw = struct.unpack(_META_FMT, meta)
     tiles = strings[1:]
-    assert len(tiles) == 2 * n_th * n_tw
+    if len(tiles) != 2 * n_th * n_tw:
+        raise ValueError(
+            f"corrupt tiled stream: {len(tiles)} tile strings, "
+            f"expected {2 * n_th * n_tw}"
+        )
 
     codec = model.codec(params)
     c_latents, hints = [], []

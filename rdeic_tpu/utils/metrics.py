@@ -155,9 +155,12 @@ class MetricSuite:
             return self._jitted["lpips"]
         from rdeic_tpu.models.lpips import LPIPS  # noqa: PLC0415
 
+        from rdeic_tpu.models.lpips import warn_random_backbone  # noqa: PLC0415
+
         net = LPIPS(net=self._lpips_net)
         params = self._lpips_params
         if params is None:
+            warn_random_backbone("MetricSuite")
             probe = jnp.zeros((1, 64, 64, 3))
             params = net.init(jax.random.PRNGKey(0), probe, probe)["params"]
 
