@@ -24,24 +24,43 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _fast_random_params(model, image_hw, scale: float = 0.02):
+def _fast_random_params(model, image_hw, scale: float = 1.0):
     """Params with the right tree/shapes but cheap per-leaf random values.
 
     Avoids compiling the monolithic init program (slow over the TPU tunnel);
-    throughput does not depend on trained weight values. Per-leaf normal
-    fills keep the entropy-model symbols non-degenerate so the rANS timing
-    stays realistic.
+    throughput does not depend on trained weight values. Fills are
+    variance-preserving (fan-in scaled, norm scales = 1, biases = 0) so
+    activations stay O(1) through the full-width 60+-layer stacks — a flat
+    per-leaf scale explodes exponentially once fan-in is large (0.02 *
+    sqrt(9*1280) > 2 gain per conv) and NaNs the training loss.
     """
     template = jax.eval_shape(
         lambda r: model.init_params(r, image_hw=image_hw), jax.random.PRNGKey(0)
     )
     rng = np.random.default_rng(0)
-    leaves, treedef = jax.tree_util.tree_flatten(template)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     out = []
-    for leaf in leaves:
-        arr = (rng.standard_normal(leaf.shape) * scale).astype(leaf.dtype)
+    for path, leaf in flat:
+        name = ""
+        for p in reversed(path):
+            name = str(getattr(p, "key", getattr(p, "name", p)))
+            break
+        if name == "scale":  # GroupNorm / LayerNorm gain
+            arr = np.ones(leaf.shape, leaf.dtype)
+        elif name == "bias" or name == "vq_embed_prob":
+            # vq_embed_prob is a usage EMA (must be >= 0: a negative fill
+            # makes the CVQ dead-code alpha = exp(+large) = inf)
+            arr = np.zeros(leaf.shape, leaf.dtype)
+        elif leaf.ndim >= 2:  # conv/dense kernels, embeddings: LeCun normal
+            fan_in = int(np.prod(leaf.shape[:-1]))
+            std = scale / np.sqrt(max(fan_in, 1))
+            arr = (rng.standard_normal(leaf.shape) * std).astype(leaf.dtype)
+        else:
+            arr = (rng.standard_normal(leaf.shape) * 0.02).astype(leaf.dtype)
         out.append(jax.device_put(jnp.asarray(arr)))
-    return jax.tree_util.tree_unflatten(treedef, out)
+    return jax.tree_util.tree_unflatten(
+        treedef, out
+    )
 
 
 def main():
@@ -132,7 +151,7 @@ def main():
     # batch); per-image bitstreams stay independent
     import os as _os2
 
-    B = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_BATCH", "8"))
+    B = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_BATCH", "16"))
     imgs = jnp.tile(img01, (B, 1, 1, 1))
     paths = [str(tmp / f"b{i}.rdeic") for i in range(B)]
     fn_b = model.jitted_decode(steps=2)
@@ -149,6 +168,25 @@ def main():
     batched = (time.time() - t0) * 1000 / B
     log(f"batched ms/image (B={B}): {batched:.0f}")
     value = float(min(np.median(lat), pipelined, batched))
+
+    # MFU of the 2-step relay decode scan (XLA flop count vs v5e bf16 peak)
+    try:
+        cl, gh = model.apply_condition_decompress_batch(params, paths)
+        compiled = fn_b.lower(params, cl, gh, jax.random.PRNGKey(7)).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            t0 = time.time()
+            jax.block_until_ready(fn_b(params, cl, gh, jax.random.PRNGKey(8)))
+            dt = time.time() - t0
+            log(
+                f"decode scan: {flops/1e12:.2f} TFLOP, {dt*1000:.0f} ms, "
+                f"MFU {100*flops/dt/197e12:.1f}% of v5e bf16 peak"
+            )
+    except Exception as e:
+        log(f"cost_analysis unavailable: {e}")
 
     print(
         json.dumps(

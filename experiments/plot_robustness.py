@@ -71,6 +71,49 @@ def main():
     fig.savefig(out_dir / "robustness_curves.png", dpi=140)
     print(f"wrote {out_dir/'robustness_curves.png'}")
 
+    # heatmaps: (target:mode) x severity grid per metric (+ failure rate) —
+    # parity with the reference's heatmap variants (plot_robustness.py)
+    mode_keys = sorted(groups)
+    all_sevs = sorted({float(r["severity"]) for r in rows})
+    for m in metrics + ["decode_failed"]:
+        grid = np.full((len(mode_keys), len(all_sevs)), np.nan)
+        for i, key in enumerate(mode_keys):
+            sev_groups = defaultdict(list)
+            for r in groups[key]:
+                sev_groups[float(r["severity"])].append(r)
+            for j, s in enumerate(all_sevs):
+                if s not in sev_groups:
+                    continue
+                if m == "decode_failed":
+                    grid[i, j] = np.mean(
+                        [r["decode_failed"] == "True" for r in sev_groups[s]]
+                    )
+                else:
+                    grid[i, j] = np.nanmean(
+                        [float(r[m] or "nan") for r in sev_groups[s]]
+                    )
+        hfig, hax = plt.subplots(
+            figsize=(1.2 * len(all_sevs) + 3, 0.6 * len(mode_keys) + 2)
+        )
+        cmap = "viridis" if m != "lpips" else "viridis_r"
+        im = hax.imshow(grid, aspect="auto", cmap=cmap)
+        hax.set_xticks(range(len(all_sevs)))
+        hax.set_xticklabels([f"{s:g}" for s in all_sevs], fontsize=7)
+        hax.set_yticks(range(len(mode_keys)))
+        hax.set_yticklabels([f"{t}:{md}" for t, md in mode_keys], fontsize=7)
+        hax.set_xlabel("severity")
+        hax.set_title(m)
+        for i in range(len(mode_keys)):
+            for j in range(len(all_sevs)):
+                if np.isfinite(grid[i, j]):
+                    hax.text(j, i, f"{grid[i, j]:.2f}", ha="center",
+                             va="center", fontsize=6, color="white")
+        hfig.colorbar(im, ax=hax)
+        hfig.tight_layout()
+        hfig.savefig(out_dir / f"robustness_heatmap_{m}.png", dpi=140)
+        plt.close(hfig)
+        print(f"wrote {out_dir}/robustness_heatmap_{m}.png")
+
     # failure thresholds: largest severity still meeting each quality bar
     lines = []
     for (target, mode), rs in sorted(groups.items()):

@@ -106,11 +106,17 @@ def main():
     out_dir = Path(args.output)
     (out_dir / "bitstreams").mkdir(parents=True, exist_ok=True)
 
-    captions = (
-        generate_captions(files, args.caption_model, None)
-        if args.use_captions
-        else {f: "" for f in files}
-    )
+    # captioning (torch, host CPU) overlaps with coding (TPU): start it in a
+    # background thread and resolve right before the first tokenization
+    captions_future = None
+    captions = {f: "" for f in files}
+    if args.use_captions:
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        _cap_pool = ThreadPoolExecutor(max_workers=1)
+        captions_future = _cap_pool.submit(
+            generate_captions, files, args.caption_model, None
+        )
     tokenizer = None
     if args.use_captions and args.bpe_vocab and "clip" in params:
         from rdeic_tpu.models.clip import SimpleTokenizer  # noqa: PLC0415
@@ -163,21 +169,41 @@ def main():
             )
             context = None
             if tokenizer is not None:
+                if captions_future is not None:
+                    captions = captions_future.result()
+                    captions_future = None
                 texts = [captions.get(f, "") for f, _ in chunk]
                 tokens = jnp.asarray(tokenizer.tokenize(texts))
                 context = model.get_learned_conditioning(params, tokens)
             for j in range(0, c_latent.shape[0], micro):
                 rng, sub = jax.random.split(rng)
-                outs.append(
-                    fn(
-                        params,
-                        c_latent[j : j + micro],
-                        guide_hint[j : j + micro],
-                        sub,
-                        context=None if context is None
-                        else context[j : j + micro],
+                try:
+                    outs.append(
+                        fn(
+                            params,
+                            c_latent[j : j + micro],
+                            guide_hint[j : j + micro],
+                            sub,
+                            context=None if context is None
+                            else context[j : j + micro],
+                        )
                     )
-                )
+                except Exception as e:
+                    if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                        print(
+                            "\nOUT OF DEVICE MEMORY during sampling. Try, in "
+                            "order:\n"
+                            f"  --micro_batch_size {max(1, micro // 2)} "
+                            "(halve the sampling micro-batch)\n"
+                            "  --bf16 (halves activation memory)\n"
+                            f"  --batch_size {max(1, args.batch_size // 2)} "
+                            "(halve the codec batch)\n"
+                            "  --max_size 1024 (resize guard for very large "
+                            "images)\n"
+                            "  or tiled_inference.py for 2K+ images "
+                            "(bounded memory at any resolution)."
+                        )
+                    raise
             out = np.concatenate([np.asarray(o) for o in outs])
             dt = (time.time() - t0) / len(chunk)
             if args.profile_memory:
@@ -186,6 +212,9 @@ def main():
                     print(f"  device mem: {stats.get('bytes_in_use', 0)/2**20:.0f} MiB")
                 except Exception:
                     pass
+            if captions_future is not None:  # captions wanted for the CSV
+                captions = captions_future.result()
+                captions_future = None
             for (f, _), recon01, bpp in zip(chunk, out, bpps):
                 arr, (sh, sw) = originals[f]
                 recon = to_uint8(recon01)[:sh, :sw]

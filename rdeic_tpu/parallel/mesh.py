@@ -102,14 +102,15 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
 
     if jax.process_count() > 1:
         return  # already initialized
+    if coordinator is not None:
+        # explicit multi-host setup: a failure here is a real error
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return
     try:
-        if coordinator is not None:
-            jax.distributed.initialize(
-                coordinator_address=coordinator,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        else:
-            jax.distributed.initialize()
+        jax.distributed.initialize()
     except Exception:
-        pass  # single-process environment
+        pass  # single-process environment without cluster env vars

@@ -154,6 +154,23 @@ class CompressionCodec:
                 return y_hat_slice
             return jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
 
+        def pass_ca(params, idx, sym_na, means_na_sq, anchor_half, y_hat_prev,
+                    hyper):
+            """pass_c of slice idx-1 fused with pass_a of slice idx: one
+            dispatch instead of two on the host-interactive decode chain."""
+            y_hat_prev = pass_c(
+                params, sym_na, means_na_sq, anchor_half, y_hat_prev
+            )
+            means_sq, indexes, channel_ctx = pass_a(
+                params, idx, hyper, y_hat_prev
+            )
+            return y_hat_prev, means_sq, indexes, channel_ctx
+
+        def pass_c_synth(params, sym_na, means_na_sq, anchor_half, y_hat_prev):
+            """Final slice's pass_c fused with the synthesis decoder."""
+            y_hat = pass_c(params, sym_na, means_na_sq, anchor_half, y_hat_prev)
+            return model.apply(params, y_hat, method=CompressionModel.synthesize)
+
         # encode-only: integer symbols for a squeezed half
         @partial(jax.jit, static_argnames=("anchor", "lo", "hi"))
         def symbols_from(y, means_sq, anchor: bool, lo: int, hi: int):
@@ -172,11 +189,18 @@ class CompressionCodec:
         self._analyze = analyze
         self._hyper = hyper_from_indices
         # one jitted program per (slice, phase) — the SAME objects are used
-        # by compress and decompress for bit-determinism
+        # by compress and decompress for bit-determinism. The hot decode
+        # chain uses two dispatches per slice: B (anchor->nonanchor params)
+        # and CA (slice assembly fused with the NEXT slice's anchor params);
+        # the final assembly is fused with the synthesis decoder.
         n = model.slice_num
-        self._pass_a = [jax.jit(partial(pass_a, idx=i)) for i in range(n)]
+        self._pass_a0 = jax.jit(partial(pass_a, idx=0))
         self._pass_b = [jax.jit(partial(pass_b, idx=i)) for i in range(n)]
+        self._pass_ca = [None] + [
+            jax.jit(partial(pass_ca, idx=i)) for i in range(1, n)
+        ]
         self._pass_c = jax.jit(pass_c)
+        self._pass_c_synth = jax.jit(pass_c_synth)
         self._symbols = symbols_from
         self._synthesize = synthesize
 
@@ -356,22 +380,25 @@ class CompressionCodec:
         y, indices, hyper = self._analyze(params, x)
         sym_list, idx_list = [], []
         y_hat_prev = None
+        n = self.model.slice_num
+        means_a, idx_a, channel_ctx = self._pass_a0(
+            params, hyper=hyper, y_hat_prev=None
+        )
         for i, (lo, hi) in enumerate(self._slice_bounds()):
-            means_a, idx_a, channel_ctx = self._pass_a[i](
-                params, hyper=hyper, y_hat_prev=y_hat_prev
-            )
             sym_a = self._symbols(y, means_a, anchor=True, lo=lo, hi=hi)
             anchor_half, means_na, idx_na = self._pass_b[i](
                 params, sym_a=sym_a, means_a_sq=means_a, hyper=hyper,
                 channel_ctx=channel_ctx,
             )
             sym_na = self._symbols(y, means_na, anchor=False, lo=lo, hi=hi)
-            y_hat_prev = self._pass_c(
-                params, sym_na=sym_na, means_na_sq=means_na,
-                anchor_half=anchor_half, y_hat_prev=y_hat_prev,
-            )
             sym_list += [sym_a, sym_na]
             idx_list += [idx_a, idx_na]
+            if i < n - 1:
+                y_hat_prev, means_a, idx_a, channel_ctx = self._pass_ca[i + 1](
+                    params, sym_na=sym_na, means_na_sq=means_na,
+                    anchor_half=anchor_half, y_hat_prev=y_hat_prev,
+                    hyper=hyper,
+                )
         pulled = jax.device_get([indices] + sym_list + idx_list)
         indices_np = pulled[0]
         syms = pulled[1 : 1 + len(sym_list)]
@@ -424,23 +451,31 @@ class CompressionCodec:
             ).astype(np.int32)
 
         y_hat_prev = None
-        for i in range(self.model.slice_num):
-            means_a, idx_a, channel_ctx = self._pass_a[i](
-                params, hyper=hyper, y_hat_prev=y_hat_prev
-            )
+        n = self.model.slice_num
+        means_a, idx_a, channel_ctx = self._pass_a0(
+            params, hyper=hyper, y_hat_prev=None
+        )
+        for i in range(n):
             sym_a = decode_rows(np.asarray(idx_a))
             anchor_half, means_na, idx_na = self._pass_b[i](
                 params, sym_a=jnp.asarray(sym_a), means_a_sq=means_a,
                 hyper=hyper, channel_ctx=channel_ctx,
             )
             sym_na = decode_rows(np.asarray(idx_na))
-            y_hat_prev = self._pass_c(
-                params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
-                anchor_half=anchor_half, y_hat_prev=y_hat_prev,
-            )
+            if i < n - 1:
+                y_hat_prev, means_a, idx_a, channel_ctx = self._pass_ca[i + 1](
+                    params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
+                    anchor_half=anchor_half, y_hat_prev=y_hat_prev,
+                    hyper=hyper,
+                )
+            else:
+                out = self._pass_c_synth(
+                    params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
+                    anchor_half=anchor_half, y_hat_prev=y_hat_prev,
+                )
         for d in decs:
             d.close()
-        return self._synthesize(params, y_hat_prev)
+        return out
 
     def decompress_batch(self, outs: list[dict]):
         """list of per-image {strings, shape} -> (c_latent [B..], guide_hint)."""
@@ -515,22 +550,27 @@ class CompressionCodec:
         sym_list = []
         idx_list = []
         y_hat_prev = None
-        for i, (lo, hi) in enumerate(self._slice_bounds()):
-            means_a, idx_a, channel_ctx = self._pass_a[i](
-                params, hyper=hyper, y_hat_prev=y_hat_prev
-            )
+        n = self.model.slice_num
+        bounds = self._slice_bounds()
+        means_a, idx_a, channel_ctx = self._pass_a0(
+            params, hyper=hyper, y_hat_prev=None
+        )
+        for i, (lo, hi) in enumerate(bounds):
             sym_a = self._symbols(y, means_a, anchor=True, lo=lo, hi=hi)
             anchor_half, means_na, idx_na = self._pass_b[i](
                 params, sym_a=sym_a, means_a_sq=means_a, hyper=hyper,
                 channel_ctx=channel_ctx,
             )
             sym_na = self._symbols(y, means_na, anchor=False, lo=lo, hi=hi)
-            y_hat_prev = self._pass_c(
-                params, sym_na=sym_na, means_na_sq=means_na,
-                anchor_half=anchor_half, y_hat_prev=y_hat_prev,
-            )
             sym_list += [sym_a, sym_na]
             idx_list += [idx_a, idx_na]
+            if i < n - 1:
+                y_hat_prev, means_a, idx_a, channel_ctx = self._pass_ca[i + 1](
+                    params, sym_na=sym_na, means_na_sq=means_na,
+                    anchor_half=anchor_half, y_hat_prev=y_hat_prev,
+                    hyper=hyper,
+                )
+            # last slice: nothing downstream of the final symbols on encode
 
         # one synchronization point: pull everything together
         pulled = jax.device_get([indices] + sym_list + idx_list)
@@ -569,10 +609,11 @@ class CompressionCodec:
         dec = RansDecoder()
         dec.set_stream(y_string)
         y_hat_prev = None
-        for i in range(self.model.slice_num):
-            means_a, idx_a, channel_ctx = self._pass_a[i](
-                params, hyper=hyper, y_hat_prev=y_hat_prev
-            )
+        n = self.model.slice_num
+        means_a, idx_a, channel_ctx = self._pass_a0(
+            params, hyper=hyper, y_hat_prev=None
+        )
+        for i in range(n):
             idx_a_np = np.asarray(idx_a)
             sym_a = dec.decode_stream(idx_a_np, self.table).reshape(idx_a_np.shape)
             anchor_half, means_na, idx_na = self._pass_b[i](
@@ -583,10 +624,16 @@ class CompressionCodec:
             sym_na = dec.decode_stream(idx_na_np, self.table).reshape(
                 idx_na_np.shape
             )
-            y_hat_prev = self._pass_c(
-                params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
-                anchor_half=anchor_half, y_hat_prev=y_hat_prev,
-            )
+            if i < n - 1:
+                y_hat_prev, means_a, idx_a, channel_ctx = self._pass_ca[i + 1](
+                    params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
+                    anchor_half=anchor_half, y_hat_prev=y_hat_prev,
+                    hyper=hyper,
+                )
+            else:
+                c_latent, guide_hint = self._pass_c_synth(
+                    params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
+                    anchor_half=anchor_half, y_hat_prev=y_hat_prev,
+                )
         dec.close()
-        c_latent, guide_hint = self._synthesize(params, y_hat_prev)
         return c_latent, guide_hint

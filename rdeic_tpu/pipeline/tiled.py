@@ -8,8 +8,18 @@ shape, so there is exactly one compile), and the batch dimension shards
 across chips over the "dp" mesh axis for multi-chip decode. Reconstructed
 tiles are blended with linear ramps in the overlap bands.
 
+Two stream layouts:
+- v1 (independent tiles): each tile carries its own (y, z) strings. Simple,
+  but pays an entropy-context reset at every tile boundary.
+- v2 (cross-tile context, default): only the MEMORY-heavy stages are tiled
+  — VAE feature extraction on the way in, relay sampler + VAE decoder on
+  the way out. The entropy model runs ONCE over the whole image's stitched
+  feature map (it lives at 1/16 of pixel resolution, so even 8K images are
+  small there), giving the full spatial/channel context everywhere: tiled
+  bpp == whole-image bpp by construction.
+
 Bitstream container: the standard write_body framing with a meta string
-(original size, tile grid) followed by per-tile (y, z) strings.
+(original size, tile grid, version) followed by the (y, z) strings.
 """
 from __future__ import annotations
 
@@ -22,7 +32,8 @@ import numpy as np
 from rdeic_tpu.utils.bitstream import read_body, write_body
 from rdeic_tpu.utils.image import pad
 
-_META_FMT = ">6I"  # H, W, tile, overlap, n_th, n_tw
+_META_FMT = ">6I"  # v1: H, W, tile, overlap, n_th, n_tw
+_META2_FMT = ">7I"  # v2: version(=2), H, W, tile, overlap, n_th, n_tw
 
 
 def _tile_grid(h: int, w: int, tile: int, overlap: int):
@@ -80,37 +91,15 @@ def tiled_compress(
     return Path(stream_path).stat().st_size * 8.0 / (H * W)
 
 
-def tiled_decompress_decode(
-    model, params, stream_path: str, rng: jax.Array,
-    steps: int = 2, sampler: str = "ddpm", tile_batch: int = 0,
-    mesh=None,
+def _vae_factor(model) -> int:
+    return 2 ** (len(model.vae.ch_mult) - 1)
+
+
+def _batched_tile_decode(
+    model, params, c_latent, guide_hint, rng, steps, sampler, tile_batch,
+    mesh,
 ) -> np.ndarray:
-    """Decode a tiled bitstream -> [1, H, W, 3] in [0,1].
-
-    tile_batch: how many tiles to relay-sample per device batch (0 = all).
-    With a mesh, the tile batch is sharded over the "dp" axis.
-    """
-    with Path(stream_path).open("rb") as f:
-        strings, zshape = read_body(f)
-    (meta,) = strings[0]
-    H, W, tile, overlap, n_th, n_tw = struct.unpack(_META_FMT, meta)
-    tiles = strings[1:]
-    if len(tiles) != 2 * n_th * n_tw:
-        raise ValueError(
-            f"corrupt tiled stream: {len(tiles)} tile strings, "
-            f"expected {2 * n_th * n_tw}"
-        )
-
-    codec = model.codec(params)
-    c_latents, hints = [], []
-    for i in range(n_th * n_tw):
-        y_s, z_s = tiles[2 * i], tiles[2 * i + 1]
-        cl, gh = codec.decompress([y_s, z_s], zshape)
-        c_latents.append(cl)
-        hints.append(gh)
-    c_latent = jnp.concatenate(c_latents)
-    guide_hint = jnp.concatenate(hints)
-
+    """Relay-sample + VAE-decode a stack of latent tiles (dp-shardable)."""
     fn = model.jitted_decode(steps=steps, sampler=sampler)
     n = c_latent.shape[0]
     bs = tile_batch or n
@@ -132,11 +121,10 @@ def tiled_decompress_decode(
             cl = jax.device_put(cl, batch_sharding(mesh))
             gh = jax.device_put(gh, batch_sharding(mesh))
         outs.append(np.asarray(fn(params, cl, gh, sub))[:real])
-    recon_tiles = np.concatenate(outs)
+    return np.concatenate(outs)
 
-    ph = -(-H // 64) * 64
-    pw = -(-W // 64) * 64
-    ys, xs = _tile_grid(ph, pw, tile, overlap)
+
+def _blend_tiles(recon_tiles, ys, xs, tile, overlap, ph, pw, H, W):
     weight = _blend_weight(tile, overlap)
     acc = np.zeros((ph, pw, 3), np.float32)
     wacc = np.zeros((ph, pw, 1), np.float32)
@@ -148,3 +136,137 @@ def tiled_decompress_decode(
             k += 1
     out = acc / np.maximum(wacc, 1e-8)
     return out[None, :H, :W]
+
+
+def tiled_decompress_decode(
+    model, params, stream_path: str, rng: jax.Array,
+    steps: int = 2, sampler: str = "ddpm", tile_batch: int = 0,
+    mesh=None,
+) -> np.ndarray:
+    """Decode a tiled bitstream (v1 or v2) -> [1, H, W, 3] in [0,1].
+
+    tile_batch: how many tiles to relay-sample per device batch (0 = all).
+    With a mesh, the tile batch is sharded over the "dp" axis.
+    """
+    with Path(stream_path).open("rb") as f:
+        strings, zshape = read_body(f)
+    (meta,) = strings[0]
+    if len(meta) == struct.calcsize(_META2_FMT):
+        return _decompress_decode_xctx(
+            model, params, strings, zshape, meta, rng, steps, sampler,
+            tile_batch, mesh,
+        )
+    H, W, tile, overlap, n_th, n_tw = struct.unpack(_META_FMT, meta)
+    tiles = strings[1:]
+    if len(tiles) != 2 * n_th * n_tw:
+        raise ValueError(
+            f"corrupt tiled stream: {len(tiles)} tile strings, "
+            f"expected {2 * n_th * n_tw}"
+        )
+
+    codec = model.codec(params)
+    c_latents, hints = [], []
+    for i in range(n_th * n_tw):
+        y_s, z_s = tiles[2 * i], tiles[2 * i + 1]
+        cl, gh = codec.decompress([y_s, z_s], zshape)
+        c_latents.append(cl)
+        hints.append(gh)
+    c_latent = jnp.concatenate(c_latents)
+    guide_hint = jnp.concatenate(hints)
+
+    recon_tiles = _batched_tile_decode(
+        model, params, c_latent, guide_hint, rng, steps, sampler,
+        tile_batch, mesh,
+    )
+    ph = -(-H // 64) * 64
+    pw = -(-W // 64) * 64
+    ys, xs = _tile_grid(ph, pw, tile, overlap)
+    return _blend_tiles(recon_tiles, ys, xs, tile, overlap, ph, pw, H, W)
+
+
+# ---------------------------------------------------------------------------
+# v2: cross-tile entropy context (tile the heavy stages, code the whole image)
+# ---------------------------------------------------------------------------
+def tiled_compress_xctx(
+    model, params, img01: np.ndarray, stream_path: str,
+    tile: int = 512, overlap: int = 64,
+) -> float:
+    """Cross-tile-context compression: VAE features are extracted per tile
+    (bounded memory), hard-stitched on their valid centers, and the entropy
+    model codes the WHOLE feature map once — no per-tile context reset, so
+    bpp matches whole-image coding. img01: [1, H, W, 3] in [0,1]."""
+    if tile % 64 != 0:
+        raise ValueError(f"tile must be a multiple of 64, got {tile}")
+    f = _vae_factor(model)
+    if overlap % (2 * f) != 0:
+        raise ValueError(f"overlap must be a multiple of {2 * f}, got {overlap}")
+    H, W = img01.shape[1:3]
+    padded = pad(np.asarray(img01), 64)
+    ph, pw = padded.shape[1:3]
+    tile = min(tile, ph, pw)
+    ys, xs = _tile_grid(ph, pw, tile, overlap)
+
+    feat_fn = model._jitted_feature()
+    C = model.compression.in_nc
+    fh, fw = ph // f, pw // f
+    tf, ovf = tile // f, overlap // f
+    h_full = np.zeros((1, fh, fw, C), np.float32)
+    for y0 in ys:
+        for x0 in xs:
+            patch = jnp.asarray(padded[:, y0 : y0 + tile, x0 : x0 + tile])
+            h_tile = np.asarray(feat_fn(params, patch))
+            y0f, x0f = y0 // f, x0 // f
+            ys_v = 0 if y0 == 0 else ovf // 2
+            ye_v = tf if y0 + tile >= ph else tf - ovf // 2
+            xs_v = 0 if x0 == 0 else ovf // 2
+            xe_v = tf if x0 + tile >= pw else tf - ovf // 2
+            h_full[:, y0f + ys_v : y0f + ye_v, x0f + xs_v : x0f + xe_v] = (
+                h_tile[:, ys_v:ye_v, xs_v:xe_v]
+            )
+
+    out = model.codec(params).compress(jnp.asarray(h_full))
+    meta = struct.pack(_META2_FMT, 2, H, W, tile, overlap, len(ys), len(xs))
+    with Path(stream_path).open("wb") as fp:
+        write_body(fp, out["shape"], [[meta]] + out["strings"])
+    return Path(stream_path).stat().st_size * 8.0 / (H * W)
+
+
+def _decompress_decode_xctx(
+    model, params, strings, zshape, meta, rng, steps, sampler, tile_batch,
+    mesh,
+) -> np.ndarray:
+    _v, H, W, tile, overlap, n_th, n_tw = struct.unpack(_META2_FMT, meta)
+    if len(strings) != 3:
+        raise ValueError(
+            f"corrupt cross-tile stream: {len(strings)} string groups, "
+            "expected meta + y + z"
+        )
+    codec = model.codec(params)
+    c_latent, guide_hint = codec.decompress([strings[1], strings[2]], zshape)
+
+    f = _vae_factor(model)
+    lt, lov = tile // f, overlap // f
+    lh, lw = c_latent.shape[1:3]
+    lys, lxs = _tile_grid(lh, lw, lt, lov)
+    cl_tiles = jnp.concatenate(
+        [
+            c_latent[:, y0 : y0 + lt, x0 : x0 + lt]
+            for y0 in lys
+            for x0 in lxs
+        ]
+    )
+    gh_tiles = jnp.concatenate(
+        [
+            guide_hint[:, y0 : y0 + lt, x0 : x0 + lt]
+            for y0 in lys
+            for x0 in lxs
+        ]
+    )
+    recon_tiles = _batched_tile_decode(
+        model, params, cl_tiles, gh_tiles, rng, steps, sampler, tile_batch,
+        mesh,
+    )
+    ph, pw = lh * f, lw * f
+    ys = [y0 * f for y0 in lys]
+    xs = [x0 * f for x0 in lxs]
+    return _blend_tiles(recon_tiles, ys, xs, tile, overlap, ph, pw, H, W)

@@ -48,3 +48,46 @@ def test_tiled_decode_with_mesh(tmp_path):
     )
     assert out.shape == (1, 64, 128, 3)
     assert np.all(np.isfinite(out))
+
+
+@pytest.mark.slow
+def test_cross_tile_context_bpp(tmp_path):
+    """v2 layout: tiled bpp must match whole-image bpp (shared entropy
+    context) and beat independent-tile coding; decode round-trips."""
+    import jax.numpy as jnp
+
+    model = micro_rdeic()
+    params = model.init_params(jax.random.PRNGKey(0), image_hw=(64, 64))
+    img = np.random.default_rng(2).uniform(0, 1, (1, 64, 128, 3)).astype("f4")
+    H, W = 64, 128
+
+    s_v1 = str(tmp_path / "v1.rdeic")
+    s_v2 = str(tmp_path / "v2.rdeic")
+    s_whole = str(tmp_path / "whole.rdeic")
+    bpp_v1 = tiled.tiled_compress(model, params, img, s_v1, tile=64, overlap=32)
+    bpp_v2 = tiled.tiled_compress_xctx(
+        model, params, img, s_v2, tile=64, overlap=32
+    )
+    bpp_whole = model.apply_condition_compress(
+        params, jnp.asarray(img), s_whole, H, W
+    )
+    assert bpp_v2 < bpp_v1, (bpp_v2, bpp_v1)
+    # shared-context coding ~= whole-image coding (only conv-halo feature
+    # differences at stitch seams remain)
+    assert abs(bpp_v2 - bpp_whole) / bpp_whole < 0.02, (bpp_v2, bpp_whole)
+
+    out = tiled.tiled_decompress_decode(
+        model, params, s_v2, jax.random.PRNGKey(3), steps=2
+    )
+    assert out.shape == (1, H, W, 3)
+    assert np.all(np.isfinite(out))
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_cross_tile_validation():
+    model = micro_rdeic()
+    with pytest.raises(ValueError, match="multiple of"):
+        tiled.tiled_compress_xctx(
+            model, None, np.zeros((1, 64, 64, 3), "f4"), "/tmp/x.rdeic",
+            tile=64, overlap=2,
+        )

@@ -16,7 +16,11 @@ from PIL import Image
 
 from rdeic_tpu.data.dataset import list_image_files
 from rdeic_tpu.parallel.mesh import make_mesh
-from rdeic_tpu.pipeline.tiled import tiled_compress, tiled_decompress_decode
+from rdeic_tpu.pipeline.tiled import (
+    tiled_compress,
+    tiled_compress_xctx,
+    tiled_decompress_decode,
+)
 from rdeic_tpu.registry import instantiate_from_config, load_yaml
 from rdeic_tpu.utils.checkpoint_io import load_params_npz
 from rdeic_tpu.utils.image import to_float01, to_uint8
@@ -40,6 +44,10 @@ def main():
     ap.add_argument("--tile_batch", type=int, default=0)
     ap.add_argument("--use_mesh", action="store_true",
                     help="shard the tile batch across all local devices")
+    ap.add_argument("--independent_tiles", action="store_true",
+                    help="v1 layout: per-tile entropy coding (default is "
+                         "cross-tile context — whole-image entropy pass, "
+                         "no bpp overhead at tile boundaries)")
     ap.add_argument("--seed", type=int, default=231)
     args = ap.parse_args()
 
@@ -61,7 +69,10 @@ def main():
         H, W = arr.shape[:2]
         stream = out_dir / "bitstreams" / f"{name}.rdeic"
         t0 = time.time()
-        bpp = tiled_compress(
+        compress_fn = (
+            tiled_compress if args.independent_tiles else tiled_compress_xctx
+        )
+        bpp = compress_fn(
             model, params, to_float01(arr)[None], str(stream),
             tile=args.tile, overlap=args.overlap,
         )
