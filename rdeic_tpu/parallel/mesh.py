@@ -99,8 +99,11 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
     explicit args support manual DCN setups.
     """
     import jax  # noqa: PLC0415
+    from jax._src import distributed as _dist  # noqa: PLC0415
 
-    if jax.process_count() > 1:
+    # NOTE: do NOT probe jax.process_count() here — it initialises the XLA
+    # backend, after which jax.distributed.initialize() refuses to run.
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     if coordinator is not None:
         # explicit multi-host setup: a failure here is a real error

@@ -71,6 +71,20 @@ def test_captioned_conditioning_through_clip_and_decode(vocab_path):
     params = model.init_params(
         jax.random.PRNGKey(0), image_hw=(32, 32), include_clip=True
     )
+    # the SD transformer proj_out AND the UNet's final out_conv are zero-init
+    # (faithful architecture), so a random-init model's eps is identically 0
+    # — context-blind by construction. Randomize them so the caption's effect
+    # on the decode is observable.
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params)
+    rng_np = np.random.default_rng(0)
+    for k in list(flat):
+        if any(str(p) in ("proj_out", "out_conv") for p in k):
+            flat[k] = jnp.asarray(
+                (rng_np.standard_normal(flat[k].shape) * 0.05).astype("f4")
+            )
+    params = unflatten_dict(flat)
     tok = SimpleTokenizer(vocab_path)
     tokens = jnp.asarray(tok.tokenize("a photo of a cat"))
 
