@@ -151,7 +151,9 @@ def main():
     # batch); per-image bitstreams stay independent
     import os as _os2
 
-    B = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_BATCH", "16"))
+    # B=24 is the measured sweet spot on one v5e (B=32 OOMs the decode
+    # scan by 25 MB; B=16 leaves dispatch amortization on the table)
+    B = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_BATCH", "24"))
     imgs = jnp.tile(img01, (B, 1, 1, 1))
     paths = [str(tmp / f"b{i}.rdeic") for i in range(B)]
     fn_b = model.jitted_decode(steps=2)

@@ -143,104 +143,123 @@ def main():
     micro = args.micro_batch_size or args.batch_size
     rng = jax.random.PRNGKey(args.seed)
     rows = []
+
+    # flatten (group, chunk) so the codec of chunk k+1 (host rANS + entropy
+    # passes) overlaps with the sampling scan of chunk k (device-bound)
+    chunks = []
     for (H, W), items in groups.items():
         print(f"group {H}x{W}: {len(items)} images")
         for i in range(0, len(items), args.batch_size):
-            chunk = items[i : i + args.batch_size]
-            t0 = time.time()
-            # batched codec: one pass-program chain for the whole chunk,
-            # per-image independent bitstreams
-            imgs01 = jnp.asarray(
-                np.stack([to_float01(p) for _, p in chunk])
-            )
-            streams = [
-                str(out_dir / "bitstreams" / f"{Path(f).stem}.rdeic")
-                for f, _ in chunk
-            ]
-            bpps = model.apply_condition_compress_batch(params, imgs01, streams)
-            c_latent, guide_hint = model.apply_condition_decompress_batch(
-                params, streams
-            )
-            # micro-batched sampling
-            outs = []
-            fn = model.jitted_decode(
-                steps=args.steps, sampler=args.sampler,
-                guidance_scale=args.guidance_scale,
-            )
-            context = None
-            if tokenizer is not None:
-                if captions_future is not None:
-                    captions = captions_future.result()
-                    captions_future = None
-                texts = [captions.get(f, "") for f, _ in chunk]
-                tokens = jnp.asarray(tokenizer.tokenize(texts))
-                context = model.get_learned_conditioning(params, tokens)
-            for j in range(0, c_latent.shape[0], micro):
-                rng, sub = jax.random.split(rng)
-                try:
-                    outs.append(
-                        fn(
-                            params,
-                            c_latent[j : j + micro],
-                            guide_hint[j : j + micro],
-                            sub,
-                            context=None if context is None
-                            else context[j : j + micro],
-                        )
-                    )
-                except Exception as e:
-                    if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
-                        print(
-                            "\nOUT OF DEVICE MEMORY during sampling. Try, in "
-                            "order:\n"
-                            f"  --micro_batch_size {max(1, micro // 2)} "
-                            "(halve the sampling micro-batch)\n"
-                            "  --bf16 (halves activation memory)\n"
-                            f"  --batch_size {max(1, args.batch_size // 2)} "
-                            "(halve the codec batch)\n"
-                            "  --max_size 1024 (resize guard for very large "
-                            "images)\n"
-                            "  or tiled_inference.py for 2K+ images "
-                            "(bounded memory at any resolution)."
-                        )
-                    raise
-            out = np.concatenate([np.asarray(o) for o in outs])
-            dt = (time.time() - t0) / len(chunk)
-            if args.profile_memory:
-                try:
-                    stats = jax.local_devices()[0].memory_stats()
-                    print(f"  device mem: {stats.get('bytes_in_use', 0)/2**20:.0f} MiB")
-                except Exception:
-                    pass
-            if captions_future is not None:  # captions wanted for the CSV
+            chunks.append(items[i : i + args.batch_size])
+
+    def codec_stage(chunk):
+        # batched codec: one pass-program chain for the whole chunk,
+        # per-image independent bitstreams
+        imgs01 = jnp.asarray(np.stack([to_float01(p) for _, p in chunk]))
+        streams = [
+            str(out_dir / "bitstreams" / f"{Path(f).stem}.rdeic")
+            for f, _ in chunk
+        ]
+        bpps = model.apply_condition_compress_batch(params, imgs01, streams)
+        c_latent, guide_hint = model.apply_condition_decompress_batch(
+            params, streams
+        )
+        return bpps, c_latent, guide_hint
+
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    codec_pool = ThreadPoolExecutor(max_workers=1)
+    fut = codec_pool.submit(codec_stage, chunks[0]) if chunks else None
+    for ci, chunk in enumerate(chunks):
+        t0 = time.time()
+        bpps, c_latent, guide_hint = fut.result()
+        fut = (
+            codec_pool.submit(codec_stage, chunks[ci + 1])
+            if ci + 1 < len(chunks)
+            else None
+        )
+        # micro-batched sampling
+        outs = []
+        fn = model.jitted_decode(
+            steps=args.steps, sampler=args.sampler,
+            guidance_scale=args.guidance_scale,
+        )
+        context = None
+        if tokenizer is not None:
+            if captions_future is not None:
                 captions = captions_future.result()
                 captions_future = None
-            for (f, _), recon01, bpp in zip(chunk, out, bpps):
-                arr, (sh, sw) = originals[f]
-                recon = to_uint8(recon01)[:sh, :sw]
-                if recon.shape[:2] != arr.shape[:2]:
-                    recon = np.array(
-                        Image.fromarray(recon).resize(
-                            (arr.shape[1], arr.shape[0]), Image.LANCZOS
-                        )
+            texts = [captions.get(f, "") for f, _ in chunk]
+            tokens = jnp.asarray(tokenizer.tokenize(texts))
+            context = model.get_learned_conditioning(params, tokens)
+        for j in range(0, c_latent.shape[0], micro):
+            rng, sub = jax.random.split(rng)
+            try:
+                outs.append(
+                    fn(
+                        params,
+                        c_latent[j : j + micro],
+                        guide_hint[j : j + micro],
+                        sub,
+                        context=None if context is None
+                        else context[j : j + micro],
                     )
-                name = Path(f).stem
-                Image.fromarray(recon).save(out_dir / f"{name}.png")
-                a = jnp.asarray(arr, jnp.float32)[None] / 255.0
-                b = jnp.asarray(recon, jnp.float32)[None] / 255.0
-                size = (out_dir / "bitstreams" / f"{name}.rdeic").stat().st_size
-                real_bpp = size * 8 / (arr.shape[0] * arr.shape[1])
-                row = dict(
-                    name=name, bpp=real_bpp,
-                    psnr=float(psnr_f(a, b)[0]),
-                    ms_ssim=float(msssim_f(a, b)[0])
-                    if min(arr.shape[:2]) >= 176 else float("nan"),
-                    lpips=float(lpips_f(a, b)[0]),
-                    time=dt, caption=captions.get(f, ""),
                 )
-                rows.append(row)
-                print(f"  {name}: bpp={row['bpp']:.5f} psnr={row['psnr']:.2f} "
-                      f"time={dt:.2f}s")
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                    print(
+                        "\nOUT OF DEVICE MEMORY during sampling. Try, in "
+                        "order:\n"
+                        f"  --micro_batch_size {max(1, micro // 2)} "
+                        "(halve the sampling micro-batch)\n"
+                        "  --bf16 (halves activation memory)\n"
+                        f"  --batch_size {max(1, args.batch_size // 2)} "
+                        "(halve the codec batch)\n"
+                        "  --max_size 1024 (resize guard for very large "
+                        "images)\n"
+                        "  or tiled_inference.py for 2K+ images "
+                        "(bounded memory at any resolution)."
+                    )
+                raise
+        out = np.concatenate([np.asarray(o) for o in outs])
+        dt = (time.time() - t0) / len(chunk)
+        if args.profile_memory:
+            try:
+                stats = jax.local_devices()[0].memory_stats()
+                print(f"  device mem: {stats.get('bytes_in_use', 0)/2**20:.0f} MiB")
+            except Exception:
+                pass
+        if captions_future is not None:  # captions wanted for the CSV
+            captions = captions_future.result()
+            captions_future = None
+        for (f, _), recon01, bpp in zip(chunk, out, bpps):
+            arr, (sh, sw) = originals[f]
+            recon = to_uint8(recon01)[:sh, :sw]
+            if recon.shape[:2] != arr.shape[:2]:
+                recon = np.array(
+                    Image.fromarray(recon).resize(
+                        (arr.shape[1], arr.shape[0]), Image.LANCZOS
+                    )
+                )
+            name = Path(f).stem
+            Image.fromarray(recon).save(out_dir / f"{name}.png")
+            a = jnp.asarray(arr, jnp.float32)[None] / 255.0
+            b = jnp.asarray(recon, jnp.float32)[None] / 255.0
+            size = (out_dir / "bitstreams" / f"{name}.rdeic").stat().st_size
+            real_bpp = size * 8 / (arr.shape[0] * arr.shape[1])
+            row = dict(
+                name=name, bpp=real_bpp,
+                psnr=float(psnr_f(a, b)[0]),
+                ms_ssim=float(msssim_f(a, b)[0])
+                if min(arr.shape[:2]) >= 176 else float("nan"),
+                lpips=float(lpips_f(a, b)[0]),
+                time=dt, caption=captions.get(f, ""),
+            )
+            rows.append(row)
+            print(f"  {name}: bpp={row['bpp']:.5f} psnr={row['psnr']:.2f} "
+                  f"time={dt:.2f}s")
+
+    codec_pool.shutdown(wait=False)
 
     with (out_dir / "metrics.csv").open("w", newline="") as fcsv:
         writer = csv.DictWriter(fcsv, fieldnames=list(rows[0].keys()))
