@@ -35,8 +35,11 @@ def main():
     ap.add_argument("--ckpt", type=str, required=True)
     ap.add_argument("--config", type=str, default="configs/model/rdeic.yaml")
     ap.add_argument("--input", type=str, required=True,
-                    help="image dir or .list file of an OOD domain")
-    ap.add_argument("--domain", type=str, default="ood")
+                    help="comma-separated image dirs or .list files, one "
+                         "per OOD domain (reference run_ood.py --domains)")
+    ap.add_argument("--domain", type=str, default=None,
+                    help="comma-separated domain names; default: the stem "
+                         "of each --input entry")
     ap.add_argument("--output", type=str, default="./ood_out")
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--num_images", type=int, default=0)
@@ -60,7 +63,48 @@ def main():
     suite = MetricSuite()
     fns = {n: suite.create_metric(n) for n in ("psnr", "ms_ssim", "lpips")}
 
-    p = Path(args.input)
+    inputs = [s.strip() for s in args.input.split(",") if s.strip()]
+    names = (
+        [s.strip() for s in args.domain.split(",")]
+        if args.domain
+        else [Path(s).stem or "ood" for s in inputs]
+    )
+    if len(names) != len(inputs):
+        raise SystemExit("--domain count must match --input count")
+
+    all_rows = []
+    rng = jax.random.PRNGKey(args.seed)
+    for inp, domain in zip(inputs, names):
+        rows, rng = eval_domain(args, model, params, fns, inp, domain, rng)
+        all_rows.extend(rows)
+
+    # consolidated CSV + per-domain mean/std summary
+    # (parity: reference run_ood.py:389-405 groupby summary)
+    if all_rows and len(inputs) > 1:
+        out_root = Path(args.output)
+        keys = list(all_rows[0].keys())
+        with (out_root / "ood_results_all.csv").open("w", newline="") as fcsv:
+            w = csv.DictWriter(fcsv, fieldnames=keys)
+            w.writeheader()
+            w.writerows(all_rows)
+        print("\n=== Summary by domain (mean / std) ===")
+        metric_keys = [k for k in keys if k not in ("name", "domain")]
+        for domain in names:
+            drows = [r for r in all_rows if r["domain"] == domain]
+            if not drows:
+                continue
+            parts = []
+            for k in metric_keys:
+                vals = np.asarray([r[k] for r in drows], np.float64)
+                parts.append(
+                    f"{k}={np.nanmean(vals):.4f}±{np.nanstd(vals):.4f}"
+                )
+            print(f"  {domain} (n={len(drows)}): " + "  ".join(parts))
+
+
+def eval_domain(args, model, params, fns, input_path, domain, rng):
+    """Evaluate one OOD domain; returns (per-image rows, advanced rng)."""
+    p = Path(input_path)
     if p.is_file() and p.suffix == ".list":
         files = load_file_list(str(p))
     elif p.is_file():
@@ -99,10 +143,9 @@ def main():
             else:
                 print(f"WARNING: no images >=96px to fit {missing}; skipping")
 
-    out_dir = Path(args.output) / args.domain
+    out_dir = Path(args.output) / domain
     (out_dir / "bitstreams").mkdir(parents=True, exist_ok=True)
     decode_fn = model.jitted_decode(steps=args.steps)
-    rng = jax.random.PRNGKey(args.seed)
     rows = []
 
     for f in files:
@@ -130,7 +173,7 @@ def main():
                 best = (lp, recon, b)
         _, recon, b = best
         Image.fromarray(recon).save(out_dir / f"{name}.png")
-        row = {"name": name, "domain": args.domain, "bpp": bpp}
+        row = {"name": name, "domain": domain, "bpp": bpp}
         for n, fn in fns.items():
             try:
                 row[n] = float(fn(ref, b)[0])
@@ -144,15 +187,17 @@ def main():
         rows.append(row)
         print(row)
 
-    with (out_dir / "ood_metrics.csv").open("w", newline="") as fcsv:
-        w = csv.DictWriter(fcsv, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
-    avg = {
-        k: float(np.nanmean([r[k] for r in rows]))
-        for k in rows[0] if k not in ("name", "domain")
-    }
-    print(f"domain={args.domain} averages: {avg}")
+    if rows:
+        with (out_dir / "ood_metrics.csv").open("w", newline="") as fcsv:
+            w = csv.DictWriter(fcsv, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        avg = {
+            k: float(np.nanmean([r[k] for r in rows]))
+            for k in rows[0] if k not in ("name", "domain")
+        }
+        print(f"domain={domain} averages: {avg}")
+    return rows, rng
 
 
 if __name__ == "__main__":

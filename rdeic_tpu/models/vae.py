@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from typing import Any
 
 from rdeic_tpu.models.blocks import Conv
-from rdeic_tpu.ops.attention import sdp_attention
+from rdeic_tpu.ops.attention import attention
 
 
 def swish(x):
@@ -73,7 +73,11 @@ class AttnBlock(nn.Module):
         q = Conv(c, kernel=1, dtype=self.dtype, name="q")(hidden).reshape(b, h * w, c)
         k = Conv(c, kernel=1, dtype=self.dtype, name="k")(hidden).reshape(b, h * w, c)
         v = Conv(c, kernel=1, dtype=self.dtype, name="v")(hidden).reshape(b, h * w, c)
-        out = sdp_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
+        # auto-dispatch: Pallas flash on TPU once h*w >= 256 tokens (at
+        # 768x512 input the mid-block attends over 96*64 = 6144 tokens;
+        # full attention would materialize a [B, 6144, 6144] matrix,
+        # ~150 MB/image — the flash path never forms it)
+        out = attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
         out = out.reshape(b, h, w, c)
         return x + Conv(c, kernel=1, dtype=self.dtype, name="proj_out")(out)
 

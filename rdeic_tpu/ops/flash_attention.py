@@ -21,37 +21,54 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, block_k,
+    seq_len,
+):
+    """One (head, q-block, k-block) grid step.
+
+    The k dimension is the LAST grid axis with ARBITRARY semantics: TPU
+    executes it sequentially, so the running max / denominator / accumulator
+    live in VMEM scratch across k steps. Only one [block_k, D] K/V tile is
+    resident at a time — whole-sequence K/V residency VMEM-OOMs at D=512
+    (the VAE mid-block: 2 x 6 MB x double-buffering > 16 MB VMEM).
+    """
+    nk = pl.program_id(2)
+
+    @pl.when(nk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
-    block_q, d = q.shape
-    num_k = pl.cdiv(seq_len, block_k)
+    k = k_ref[0].astype(jnp.float32)  # [BK, D]
+    v = v_ref[0].astype(jnp.float32)  # [BK, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, BK]
+    # mask the zero-padded tail of the last chunk
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + nk * block_k
+    s = jnp.where(col < seq_len, s, NEG_INF)
+    m_prev = m_ref[:, :1]  # [BQ, 1] (stored broadcast along 128 lanes)
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, BK]
-        # mask the zero-padded tail of the last chunk
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
-        s = jnp.where(col < seq_len, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    @pl.when(nk == pl.num_programs(2) - 1)
+    def _finish():
+        o_ref[0] = (
+            acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-30)
+        ).astype(o_ref.dtype)
 
 
 @jax.custom_vjp
@@ -78,13 +95,16 @@ def _flash_bwd(res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
 def _flash_forward(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     block_q: int = 256,
     block_k: int = 512,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """q/k/v: [B, L, H, D] -> [B, L, H, D] (self attention, no mask)."""
     b, lq, h, d = q.shape
@@ -111,7 +131,7 @@ def _flash_forward(
     lq_p = lq + pad_q
     lk_p = lk + pad_k
 
-    grid = (b * h, lq_p // block_q)
+    grid = (b * h, lq_p // block_q, lk_p // block_k)
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, block_k=block_k, seq_len=lk
@@ -119,15 +139,28 @@ def _flash_forward(
         out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, block_q, d), lambda i, j, nk: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_p, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda i, j, nk: (i, nk, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_p, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda i, j, nk: (i, nk, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, nk: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running denominator
+            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                pltpu.GridDimensionSemantics.PARALLEL,
+                pltpu.GridDimensionSemantics.PARALLEL,
+                pltpu.GridDimensionSemantics.ARBITRARY,
+            ),
+        ),
+        interpret=interpret,
     )(qh, kh, vh)
     out = out[:, :lq, :].reshape(b, h, lq, d).transpose(0, 2, 1, 3)
     return out

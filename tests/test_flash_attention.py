@@ -8,40 +8,13 @@ from rdeic_tpu.ops.attention import sdp_attention
 
 
 def _flash_interpret(q, k, v, block_q=64, block_k=64):
-    """Run the pallas kernel in interpreter mode (CPU-safe)."""
-    import functools
-    from jax.experimental import pallas as pl
+    """Run the REAL _flash_forward wrapper (padding, grid, k-blocked
+    scratch accumulation) in interpreter mode (CPU-safe)."""
     from rdeic_tpu.ops import flash_attention as fa
 
-    b, lq, h, d = q.shape
-    lk = k.shape[1]
-    scale = d**-0.5
-
-    def to_bhld(x, l):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
-
-    qh, kh, vh = to_bhld(q, lq), to_bhld(k, lk), to_bhld(v, lk)
-    pad_q = (-lq) % block_q
-    pad_k = (-lk) % block_k
-    qh = jnp.pad(qh, ((0, 0), (0, pad_q), (0, 0)))
-    kh = jnp.pad(kh, ((0, 0), (0, pad_k), (0, 0)))
-    vh = jnp.pad(vh, ((0, 0), (0, pad_k), (0, 0)))
-    lq_p, lk_p = lq + pad_q, lk + pad_k
-    out = pl.pallas_call(
-        functools.partial(
-            fa._flash_kernel, scale=scale, block_k=block_k, seq_len=lk
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
-        grid=(b * h, lq_p // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, lk_p, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, lk_p, d), lambda i, j: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-        interpret=True,
-    )(qh, kh, vh)
-    return out[:, :lq, :].reshape(b, h, lq, d).transpose(0, 2, 1, 3)
+    return fa._flash_forward(
+        q, k, v, block_q=block_q, block_k=block_k, interpret=True
+    )
 
 
 @pytest.mark.parametrize("lq,lk", [(128, 128), (100, 100), (64, 160)])

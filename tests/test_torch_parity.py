@@ -14,19 +14,13 @@ import pytest
 torch = pytest.importorskip("torch")
 sys.path.insert(0, "/root/reference")
 
-# the reference lazily imports omegaconf only for a ListConfig isinstance
-# check; stub it (omegaconf is not installed in this environment)
-if "omegaconf" not in sys.modules:
-    _oc = types.ModuleType("omegaconf")
-    _lc = types.ModuleType("omegaconf.listconfig")
+# the reference imports omegaconf (ListConfig) and other heavy deps at
+# import time; install the shared stub set (ref_stubs) rather than an
+# ad-hoc one — a partial stub left in sys.modules here breaks the other
+# parity test files collected after this one.
+from ref_stubs import install_reference_stubs  # noqa: E402
 
-    class ListConfig(list):  # noqa: D401 - stub
-        pass
-
-    _lc.ListConfig = ListConfig
-    _oc.listconfig = _lc
-    sys.modules["omegaconf"] = _oc
-    sys.modules["omegaconf.listconfig"] = _lc
+install_reference_stubs()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
