@@ -27,14 +27,41 @@ from rdeic_tpu.ops.attention import sdp_attention
 from rdeic_tpu.ops.flash_attention import _flash_forward
 
 
-def timeit(fn, *a, iters=10):
-    out = fn(*a)
-    jax.block_until_ready(out)
+def timeit(fn, q, k, v, iters=20):
+    """Median-of-3 per-call ms, measured as ONE jitted lax.scan of `iters`
+    chained calls (each iteration's output perturbs the next query, so the
+    device must run them sequentially). Host-side loops with
+    block_until_ready under-measure through the axon tunnel — small
+    dispatches report ~0.02 ms for workloads whose FLOP floor is ~2 ms."""
+
+    @jax.jit
+    def chained(q, k, v):
+        def body(carry, _):
+            out = fn(carry, k, v)
+            return out.astype(carry.dtype), ()
+
+        final, _ = jax.lax.scan(body, q, None, length=iters)
+        # scalar result: the host fetch (float()) forces execution through
+        # the axon tunnel; block_until_ready alone does not.
+        return jnp.sum(final.astype(jnp.float32))
+
+    float(chained(q, k, v))  # compile + first run
+    # measured fetch floor (tunnel RTT): trivial computation, same fetch
+    @jax.jit
+    def trivial(q):
+        return jnp.sum(q[0, 0, 0].astype(jnp.float32))
+
+    float(trivial(q))
     t0 = time.time()
-    for _ in range(iters):
-        out = fn(*a)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters * 1000
+    for _ in range(3):
+        float(trivial(q))
+    rtt = (time.time() - t0) / 3
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        float(chained(q, k, v))
+        times.append(max(time.time() - t0 - rtt, 0.0) / iters * 1000)
+    return float(np.median(times))
 
 
 def main():

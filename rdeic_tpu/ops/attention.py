@@ -46,9 +46,16 @@ def on_tpu() -> bool:
 
 def attention(q, k, v, *, allow_flash: bool = True):
     """Auto-dispatching attention: the Pallas flash kernel on TPU for
-    long self-attention sequences, the fused XLA path otherwise."""
+    long self-attention sequences, the fused XLA path otherwise.
+
+    Threshold from the v5e block sweep (experiments/flash_block_sweep.py,
+    B=8 per-call ms): seq 384 -> sdp 0.09 vs flash 0.60 (sdp wins 7x);
+    seq 1536 -> flash 1.22 vs sdp 2.22; seq 6144 -> flash 5.9 vs sdp 423
+    (d=64) and 3.4 vs 85 (d=512). Crossover sits between 384 and 1536;
+    dispatch to flash at >= 1024 tokens.
+    """
     lq, lk = q.shape[1], k.shape[1]
-    if allow_flash and on_tpu() and lq == lk and lq >= 256:
+    if allow_flash and on_tpu() and lq == lk and lq >= 1024:
         from rdeic_tpu.ops.flash_attention import flash_attention  # noqa: PLC0415
 
         return flash_attention(q, k, v)

@@ -76,12 +76,32 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
     """q/k/v: [B, L, H, D] -> [B, L, H, D]. Pallas forward; the backward
     pass recomputes attention through the XLA path (same memory profile as
     standard attention-with-recompute; a dedicated backward kernel is a
-    later optimization)."""
-    return _flash_forward(q, k, v)
+    later optimization).
+
+    Block sizes from the v5e sweep (experiments/flash_block_sweep.py):
+    1024/1024 wins at seq >= 4096 (5.9 ms at 40x6144xd64, 3.4 ms at
+    8x6144xd512); 512/1024 wins at seq 1536 (1.22 ms vs 1.66 for
+    1024/1024). Shorter sequences dispatch to sdp (ops/attention.py).
+    """
+    return _flash_forward(q, k, v, **_best_blocks(q))
+
+
+def _best_blocks(q):
+    """Sweep-derived (block_q, block_k) by seq len and head dim.
+
+    bq=1024 only fits VMEM for narrow heads: at d=512 the compiler's
+    scoped-vmem analysis hits 17.5M > 16M once the kernel sits inside the
+    full VAE program (q/k/v tiles + [bq,bk] logits + fp32 accumulator +
+    double buffering), so wide heads cap at bq=512 (3.79 ms vs the 3.44 ms
+    1024/1024 ideal at 8x6144xd512 — 10% off best, but always compiles).
+    """
+    lq, d = q.shape[1], q.shape[3]
+    bq = 1024 if (lq >= 4096 and d <= 128) else 512
+    return {"block_q": bq, "block_k": 1024}
 
 
 def _flash_fwd(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    return _flash_forward(q, k, v, **_best_blocks(q)), (q, k, v)
 
 
 def _flash_bwd(res, g):

@@ -49,7 +49,7 @@ def test_flash_attention_grad_cpu():
     orig = fa._flash_forward
     fa_fn = fa.flash_attention
     try:
-        fa._flash_forward = lambda q, k, v: sdp_attention(q, k, v)
+        fa._flash_forward = lambda q, k, v, **_kw: sdp_attention(q, k, v)
 
         def loss_flash(q, k, v):
             return jnp.sum(fa_fn(q, k, v) ** 2)
