@@ -8,10 +8,17 @@ HBM. Matmuls hit the MXU with fp32 accumulation; softmax math stays fp32.
 
 Used for the UNet self-attention (L = h*w up to ~10k tokens). Cross
 attention to the 77-token text context stays on the XLA path (tiny K).
+
+Backward: dedicated Pallas kernels (dq pass + dk/dv pass) that recompute
+the score tiles from the forward's saved logsumexp, FlashAttention-v1
+style. The XLA-recompute fallback (materializes the full [L, L] matrix —
+~2.7 GB fp32 at the 512px training shapes) remains behind
+RDEIC_FLASH_XLA_BWD=1 for debugging.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -19,11 +26,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LANES = 128
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, block_k,
-    seq_len,
+    q_ref, k_ref, v_ref, o_ref, *rest, scale, block_k, seq_len,
+    save_residuals,
 ):
     """One (head, q-block, k-block) grid step.
 
@@ -32,7 +40,15 @@ def _flash_kernel(
     live in VMEM scratch across k steps. Only one [block_k, D] K/V tile is
     resident at a time — whole-sequence K/V residency VMEM-OOMs at D=512
     (the VAE mid-block: 2 x 6 MB x double-buffering > 16 MB VMEM).
+
+    With save_residuals the kernel also emits lse = m + log(l) (shape
+    [block_q, 128], broadcast along lanes) for the backward kernels; the
+    inference program is compiled without it (no HBM residual traffic).
     """
+    if save_residuals:
+        lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
     nk = pl.program_id(2)
 
     @pl.when(nk == 0)
@@ -66,17 +82,20 @@ def _flash_kernel(
 
     @pl.when(nk == pl.num_programs(2) - 1)
     def _finish():
+        l_fin = l_ref[:, :1]
         o_ref[0] = (
-            acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-30)
+            acc_ref[...] / jnp.maximum(l_fin, 1e-30)
         ).astype(o_ref.dtype)
+        if save_residuals:
+            lse = m_ref[:, :1] + jnp.log(jnp.maximum(l_fin, 1e-30))
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref[0].shape)
 
 
 @jax.custom_vjp
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
-    """q/k/v: [B, L, H, D] -> [B, L, H, D]. Pallas forward; the backward
-    pass recomputes attention through the XLA path (same memory profile as
-    standard attention-with-recompute; a dedicated backward kernel is a
-    later optimization).
+    """q/k/v: [B, L, H, D] -> [B, L, H, D]. Pallas forward and backward
+    (dq + dkv kernels recomputing score tiles from the saved logsumexp —
+    the [L, L] matrix never hits HBM in either direction).
 
     Block sizes from the v5e sweep (experiments/flash_block_sweep.py):
     1024/1024 wins at seq >= 4096 (5.9 ms at 40x6144xd64, 3.4 ms at
@@ -101,22 +120,28 @@ def _best_blocks(q):
 
 
 def _flash_fwd(q, k, v):
-    return _flash_forward(q, k, v, **_best_blocks(q)), (q, k, v)
+    out, lse = _flash_forward(
+        q, k, v, save_residuals=True, **_best_blocks(q)
+    )
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(res, g):
-    from rdeic_tpu.ops.attention import sdp_attention  # noqa: PLC0415
+    q, k, v, out, lse = res
+    if os.environ.get("RDEIC_FLASH_XLA_BWD") == "1":
+        from rdeic_tpu.ops.attention import sdp_attention  # noqa: PLC0415
 
-    q, k, v = res
-    _, vjp = jax.vjp(sdp_attention, q, k, v)
-    return vjp(g)
+        _, vjp = jax.vjp(sdp_attention, q, k, v)
+        return vjp(g)
+    return _flash_backward(q, k, v, out, lse, g)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "save_residuals"),
 )
 def _flash_forward(
     q: jnp.ndarray,
@@ -125,8 +150,13 @@ def _flash_forward(
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
+    save_residuals: bool = False,
 ) -> jnp.ndarray:
-    """q/k/v: [B, L, H, D] -> [B, L, H, D] (self attention, no mask)."""
+    """q/k/v: [B, L, H, D] -> [B, L, H, D] (self attention, no mask).
+
+    With save_residuals, returns (out, lse) where lse[b*h, lq] is the
+    softmax log-normalizer per query row (for the backward kernels).
+    """
     b, lq, h, d = q.shape
     lk = k.shape[1]
     scale = d**-0.5
@@ -151,12 +181,25 @@ def _flash_forward(
     lq_p = lq + pad_q
     lk_p = lk + pad_k
 
-    grid = (b * h, lq_p // block_q, lk_p // block_k)
-    out = pl.pallas_call(
+    bh = b * h
+    grid = (bh, lq_p // block_q, lk_p // block_k)
+    out_shape = [jax.ShapeDtypeStruct((bh, lq_p, d), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda i, j, nk: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if save_residuals:
+        out_shape.append(jax.ShapeDtypeStruct((bh, lq_p, LANES), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, block_q, LANES), lambda i, j, nk: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    res = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, block_k=block_k, seq_len=lk
+            _flash_kernel, scale=scale, block_k=block_k, seq_len=lk,
+            save_residuals=save_residuals,
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, nk: (i, j, 0),
@@ -166,11 +209,10 @@ def _flash_forward(
             pl.BlockSpec((1, block_k, d), lambda i, j, nk: (i, nk, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, nk: (i, j, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running denominator
+            pltpu.VMEM((block_q, LANES), jnp.float32),  # running max
+            pltpu.VMEM((block_q, LANES), jnp.float32),  # running denominator
             pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
         ],
         compiler_params=pltpu.CompilerParams(
@@ -182,5 +224,208 @@ def _flash_forward(
         ),
         interpret=interpret,
     )(qh, kh, vh)
-    out = out[:, :lq, :].reshape(b, h, lq, d).transpose(0, 2, 1, 3)
+    out = res[0][:, :lq, :].reshape(b, h, lq, d).transpose(0, 2, 1, 3)
+    if save_residuals:
+        return out, res[1][:, :lq, 0]  # lse: [bh, lq]
     return out
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc_ref, *,
+    scale, block_q, block_k, seq_q, seq_k,
+):
+    """dq pass: grid (head, q-block, k-block), k ARBITRARY (innermost).
+
+    Recomputes the score tile from lse, accumulates dq across k steps in
+    VMEM scratch: ds = p * (dO V^T - di), dq = scale * ds K.
+    """
+    j, nk = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(nk == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, BK]
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * block_q
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + nk * block_k
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    p = jnp.where((row < seq_q) & (col < seq_k), p, 0.0)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, BK]
+    ds = p * (dp - di_ref[0][:, :1]) * scale
+    acc_ref[...] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(nk == pl.num_programs(2) - 1)
+    def _finish():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    k_ref, v_ref, q_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale, block_q, block_k, seq_q, seq_k,
+):
+    """dk/dv pass: grid (head, k-block, q-block), q ARBITRARY (innermost).
+
+    dv = P^T dO, dk = scale * dS^T Q accumulated across q steps in VMEM
+    scratch (padded-k rows of the outputs are sliced off by the caller).
+    """
+    nq = pl.program_id(2)
+
+    @pl.when(nq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, BK]
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + nq * block_q
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    p = jnp.where(row < seq_q, p, 0.0)  # padded q rows contribute nothing
+    dv_acc[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BK, D]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, BK]
+    ds = p * (dp - di_ref[0][:, :1]) * scale
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BK, D]
+
+    @pl.when(nq == pl.num_programs(2) - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def _flash_backward(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    out: jnp.ndarray,
+    lse: jnp.ndarray,
+    do: jnp.ndarray,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+):
+    """Backward via two Pallas passes. q/k/v/out/do: [B, L, H, D];
+    lse: [B*H, Lq] from the forward. Returns (dq, dk, dv) in [B, L, H, D].
+
+    Backward blocks default to 512/512 (more live tiles than the forward:
+    q, k, v, dO plus two accumulators — 1024-blocks exceed scoped VMEM at
+    d=512)."""
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    scale = d**-0.5
+    bh = b * h
+
+    def to_bhld(x, l):
+        return x.transpose(0, 2, 1, 3).reshape(bh, l, d)
+
+    qh, kh, vh = to_bhld(q, lq), to_bhld(k, lk), to_bhld(v, lk)
+    oh, doh = to_bhld(out, lq), to_bhld(do, lq)
+    # di[r] = sum_d dO[r, d] * O[r, d] (the softmax-jacobian row term)
+    di = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1)
+
+    if lq < block_q:
+        block_q = -(-lq // 8) * 8
+    if lk < block_k:
+        block_k = -(-lk // 8) * 8
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    if pad_q:
+        zq = ((0, 0), (0, pad_q), (0, 0))
+        qh = jnp.pad(qh, zq)
+        doh = jnp.pad(doh, zq)
+        lse = jnp.pad(lse, ((0, 0), (0, pad_q)))
+        di = jnp.pad(di, ((0, 0), (0, pad_q)))
+    if pad_k:
+        zk = ((0, 0), (0, pad_k), (0, 0))
+        kh = jnp.pad(kh, zk)
+        vh = jnp.pad(vh, zk)
+    lq_p, lk_p = lq + pad_q, lk + pad_k
+    # row-wise terms broadcast along a 128-lane minor dim (kernels read
+    # [:, :1]; a [L]-shaped operand has no TPU-friendly layout)
+    lse_b = jnp.broadcast_to(lse[:, :, None], (bh, lq_p, LANES))
+    di_b = jnp.broadcast_to(di[:, :, None], (bh, lq_p, LANES))
+
+    nq, nk = lq_p // block_q, lk_p // block_k
+    q_spec = pl.BlockSpec((1, block_q, d), lambda i, j, s: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, block_q, LANES), lambda i, j, s: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    kin_spec = pl.BlockSpec((1, block_k, d), lambda i, j, s: (i, s, 0),
+                            memory_space=pltpu.VMEM)
+    semantics = pltpu.CompilerParams(
+        dimension_semantics=(
+            pltpu.GridDimensionSemantics.PARALLEL,
+            pltpu.GridDimensionSemantics.PARALLEL,
+            pltpu.GridDimensionSemantics.ARBITRARY,
+        ),
+    )
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, scale=scale, block_q=block_q, block_k=block_k,
+            seq_q=lq, seq_k=lk,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_p, d), q.dtype),
+        grid=(bh, nq, nk),
+        in_specs=[q_spec, kin_spec, kin_spec, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=semantics,
+        interpret=interpret,
+    )(qh, kh, vh, doh, lse_b, di_b)
+
+    # dkv grid: (head, k-block, q-block); q/dO/lse/di stream along the
+    # ARBITRARY axis, k/v/dk/dv stay pinned per (i, j)
+    kpin_spec = pl.BlockSpec((1, block_k, d), lambda i, j, s: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    qstream_spec = pl.BlockSpec((1, block_q, d), lambda i, j, s: (i, s, 0),
+                                memory_space=pltpu.VMEM)
+    rowstream_spec = pl.BlockSpec(
+        (1, block_q, LANES), lambda i, j, s: (i, s, 0),
+        memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, scale=scale, block_q=block_q, block_k=block_k,
+            seq_q=lq, seq_k=lk,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk_p, d), v.dtype),
+        ],
+        grid=(bh, lk_p // block_k, nq),
+        in_specs=[kpin_spec, kpin_spec, qstream_spec, qstream_spec,
+                  rowstream_spec, rowstream_spec],
+        out_specs=[kpin_spec, kpin_spec],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=semantics,
+        interpret=interpret,
+    )(kh, vh, qh, doh, lse_b, di_b)
+
+    def from_bhld(x, l):
+        return x[:, :l, :].reshape(b, h, l, d).transpose(0, 2, 1, 3)
+
+    return from_bhld(dq, lq), from_bhld(dk, lk), from_bhld(dv, lk)
