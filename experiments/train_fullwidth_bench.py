@@ -114,6 +114,9 @@ def main():
     log(f"trainable params: {n_train/1e6:.1f}M")
 
     batches = synthetic_batches(4, args.batch, args.size)
+    # pin on device once: re-uploading B x 512 x 512 x 3 f32 (25 MB at B=8)
+    # per step costs hundreds of ms through the axon tunnel
+    batches = [jax.device_put(jnp.asarray(b)) for b in batches]
     phase = "refine" if args.refine else "independent"
     out_path = Path(args.out) / f"fullwidth_{phase}_metrics.jsonl"
     out_path.parent.mkdir(parents=True, exist_ok=True)
@@ -121,7 +124,7 @@ def main():
     log(f"compiling + first step (phase={phase}, B={args.batch}, "
         f"{args.size}x{args.size})...")
     t0 = time.time()
-    state, logs = trainer.step(state, jnp.asarray(batches[0]))
+    state, logs = trainer.step(state, batches[0])
     jax.block_until_ready(state.train_params)
     compile_s = time.time() - t0
     log(f"first step (incl. compile): {compile_s:.1f}s")
@@ -131,7 +134,7 @@ def main():
     with out_path.open("w") as f:
         for i in range(1, args.steps):
             t0 = time.time()
-            state, logs = trainer.step(state, jnp.asarray(batches[i % 4]))
+            state, logs = trainer.step(state, batches[i % 4])
             jax.block_until_ready(state.train_params)
             dt = time.time() - t0
             times.append(dt)
@@ -152,7 +155,7 @@ def main():
     try:
         # XLA's own flop count for the compiled step -> MFU vs v5e bf16 peak
         compiled = trainer._step_fn.lower(
-            state, jnp.asarray(batches[0])
+            state, batches[0]
         ).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
