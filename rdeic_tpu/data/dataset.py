@@ -201,3 +201,28 @@ class DataModule:
         kw.pop("pin_memory", None)
         kw.setdefault("shuffle", False)
         return DataLoader(ds, shuffle=False, **{k: v for k, v in kw.items() if k != "shuffle"})
+
+
+def device_prefetch(loader, put_fn, depth: int = 2):
+    """Wrap a host batch iterator with a device-side prefetch pipeline.
+
+    `put_fn(batch) -> device_batch` is called `depth` batches ahead of the
+    consumer, so host->device transfer of batch k+1 overlaps step k's
+    compute even when the training loop synchronizes on step outputs
+    (e.g. per-step metric fetches). At B=8 512px the transfer is 25 MB —
+    ~500 ms through the remote-TPU tunnel, half the step time if
+    serialized. Yields (device_batch, host_batch) pairs (the host batch
+    is kept for image logging)."""
+    import collections  # noqa: PLC0415
+
+    it = iter(loader)
+    buf: collections.deque = collections.deque()
+    try:
+        while True:
+            while len(buf) < depth:
+                host = next(it)
+                buf.append((put_fn(host), host))
+            yield buf.popleft()
+    except StopIteration:
+        while buf:
+            yield buf.popleft()

@@ -94,3 +94,34 @@ def test_ema():
     np.testing.assert_allclose(np.asarray(s["a"]), 0.5)
     s2 = ema_update(shadow, p2, decay=0.9999, step=jnp.asarray(0))
     np.testing.assert_allclose(np.asarray(s2["a"]), 0.9, atol=1e-6)
+
+
+def test_device_prefetch_order_and_drain():
+    """device_prefetch must yield every batch exactly once, in order, with
+    put_fn applied, including the tail still in the buffer at exhaustion."""
+    from rdeic_tpu.data.dataset import device_prefetch
+
+    batches = [{"jpg": i} for i in range(5)]
+    put_calls = []
+
+    def put(b):
+        put_calls.append(b["jpg"])
+        return b["jpg"] * 10
+
+    out = list(device_prefetch(batches, put, depth=2))
+    assert [d for d, _ in out] == [0, 10, 20, 30, 40]
+    assert [h["jpg"] for _, h in out] == [0, 1, 2, 3, 4]
+    assert put_calls == [0, 1, 2, 3, 4]
+
+
+def test_device_prefetch_stays_ahead():
+    """put_fn for batch k+1 must run before batch k is consumed."""
+    from rdeic_tpu.data.dataset import device_prefetch
+
+    events = []
+    batches = [{"jpg": i} for i in range(3)]
+    gen = device_prefetch(batches, lambda b: events.append(("put", b["jpg"])), depth=2)
+    next(gen)
+    events.append(("consume", 0))
+    # after consuming batch 0, batches 0 AND 1 must already be uploaded
+    assert ("put", 1) in events[:2]
