@@ -222,6 +222,14 @@ def _flash_forward(
                 pltpu.GridDimensionSemantics.ARBITRARY,
             ),
         ),
+        # declare the kernel's FLOPs (2 matmuls: QK^T and PV) so XLA
+        # cost_analysis — and every MFU number derived from it — counts
+        # pallas work instead of silently reporting it as zero
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lq_p * lk_p * d,
+            transcendentals=bh * lq_p * lk_p,
+            bytes_accessed=(qh.size + kh.size + vh.size) * qh.dtype.itemsize,
+        ),
         interpret=interpret,
     )(qh, kh, vh)
     out = res[0][:, :lq, :].reshape(b, h, lq, d).transpose(0, 2, 1, 3)
@@ -392,6 +400,14 @@ def _flash_backward(
         out_specs=q_spec,
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=semantics,
+        # 3 matmuls per tile (QK^T, dO V^T, dS K) — see _flash_forward's
+        # cost_estimate note
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * lq_p * lk_p * d,
+            transcendentals=bh * lq_p * lk_p,
+            bytes_accessed=2 * (qh.size + kh.size + vh.size)
+            * qh.dtype.itemsize,
+        ),
         interpret=interpret,
     )(qh, kh, vh, doh, lse_b, di_b)
 
@@ -422,6 +438,13 @@ def _flash_backward(
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
         compiler_params=semantics,
+        # 4 matmuls per tile (QK^T, P^T dO, dO V^T, dS^T Q)
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * lq_p * lk_p * d,
+            transcendentals=bh * lq_p * lk_p,
+            bytes_accessed=2 * (qh.size + kh.size + vh.size)
+            * qh.dtype.itemsize,
+        ),
         interpret=interpret,
     )(kh, vh, qh, doh, lse_b, di_b)
 
