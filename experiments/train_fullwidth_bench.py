@@ -83,6 +83,9 @@ def main():
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--out", type=str, default="indicators")
     ap.add_argument("--config", type=str, default="configs/model/rdeic.yaml")
+    ap.add_argument("--no_remat", action="store_true",
+                    help="disable activation checkpointing (trades HBM for "
+                    "the rematerialized forward's FLOPs)")
     args = ap.parse_args()
 
     from rdeic_tpu.registry import instantiate_from_config, load_yaml
@@ -95,6 +98,11 @@ def main():
     cfg = load_yaml(args.config)
     if args.refine:
         cfg["params"]["is_refine"] = True
+    if args.no_remat:
+        for key in ("control_stage_config", "unet_config"):
+            cfg["params"].setdefault(key, {}).setdefault("params", {})[
+                "use_checkpoint"
+            ] = False
     model = instantiate_from_config(cfg)
     model.set_compute_dtype(jnp.bfloat16)
 
