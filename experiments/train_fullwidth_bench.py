@@ -86,6 +86,10 @@ def main():
     ap.add_argument("--no_remat", action="store_true",
                     help="disable activation checkpointing (trades HBM for "
                     "the rematerialized forward's FLOPs)")
+    ap.add_argument("--remat_policy", type=str, default=None,
+                    choices=["dots"],
+                    help="selective remat: save matmul/conv outputs, "
+                    "recompute elementwise only")
     args = ap.parse_args()
 
     from rdeic_tpu.registry import instantiate_from_config, load_yaml
@@ -103,6 +107,11 @@ def main():
             cfg["params"].setdefault(key, {}).setdefault("params", {})[
                 "use_checkpoint"
             ] = False
+    if args.remat_policy:
+        for key in ("control_stage_config", "unet_config"):
+            cfg["params"].setdefault(key, {}).setdefault("params", {})[
+                "remat_policy"
+            ] = args.remat_policy
     model = instantiate_from_config(cfg)
     model.set_compute_dtype(jnp.bfloat16)
 

@@ -283,6 +283,22 @@ def _skip_channels(model_channels, channel_mult, num_res_blocks):
     return chans
 
 
+def _remat_cls(cls, use_checkpoint, policy_name):
+    """Module class -> (optionally) remat-wrapped class.
+
+    policy_name:
+      None   — full rematerialization (reference use_checkpoint parity)
+      "dots" — save matmul/conv outputs, recompute elementwise ops only
+               (jax.checkpoint_policies.checkpoint_dots): ~B=16-capacity
+               memory at near-no-remat step time on v5e
+    """
+    if not use_checkpoint:
+        return cls
+    if policy_name == "dots":
+        return nn.remat(cls, policy=jax.checkpoint_policies.checkpoint_dots)
+    return nn.remat(cls)
+
+
 class UNetModel(nn.Module):
     """SD 2.1 denoising UNet."""
 
@@ -296,14 +312,15 @@ class UNetModel(nn.Module):
     transformer_depth: int = 1
     context_dim: int = 1024
     use_checkpoint: bool = False
+    remat_policy: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
         # activation checkpointing (parity: use_checkpoint=True in the
         # reference unet/control configs; util.py:109-159) via nn.remat
-        Enc = nn.remat(EncoderBlock) if self.use_checkpoint else EncoderBlock
-        Dec = nn.remat(DecoderBlock) if self.use_checkpoint else DecoderBlock
-        Mid = nn.remat(MiddleBlock) if self.use_checkpoint else MiddleBlock
+        Enc = _remat_cls(EncoderBlock, self.use_checkpoint, self.remat_policy)
+        Dec = _remat_cls(DecoderBlock, self.use_checkpoint, self.remat_policy)
+        Mid = _remat_cls(MiddleBlock, self.use_checkpoint, self.remat_policy)
         mc = self.model_channels
         self.time_embed = TimeEmbed(mc * 4, self.dtype, name="time_embed")
         enc = _enc_plan(
@@ -381,11 +398,12 @@ class ControlModule(nn.Module):
     context_dim: int = 1024
     control_model_ratio: float = 0.2
     use_checkpoint: bool = False
+    remat_policy: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
-        Enc = nn.remat(EncoderBlock) if self.use_checkpoint else EncoderBlock
-        Mid = nn.remat(MiddleBlock) if self.use_checkpoint else MiddleBlock
+        Enc = _remat_cls(EncoderBlock, self.use_checkpoint, self.remat_policy)
+        Mid = _remat_cls(MiddleBlock, self.use_checkpoint, self.remat_policy)
         full_mc = self.model_channels
         mc = int(full_mc * self.control_model_ratio)
         self.scaled_channels = mc
@@ -445,6 +463,7 @@ class NoiseEstimator(nn.Module):
     control_model_ratio: float = 0.2
     control_scale: float = 1.0
     use_checkpoint: bool = False
+    remat_policy: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -458,6 +477,7 @@ class NoiseEstimator(nn.Module):
             num_head_channels=self.num_head_channels,
             context_dim=self.context_dim,
             use_checkpoint=self.use_checkpoint,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
             name="base",
         )
@@ -472,6 +492,7 @@ class NoiseEstimator(nn.Module):
             context_dim=self.context_dim,
             control_model_ratio=self.control_model_ratio,
             use_checkpoint=self.use_checkpoint,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
             name="control",
         )
