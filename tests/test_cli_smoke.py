@@ -125,3 +125,46 @@ def test_run_ood_multi_domain(micro_ckpt):
         rows = list(csv.DictReader(f))
     assert sorted(r["domain"] for r in rows) == ["alpha", "beta"]
     assert all("bpp" in r and "psnr" in r for r in rows)
+
+
+def test_inference_partition_cli(micro_ckpt):
+    """inference_partition.py: resolution grouping + micro-batching over a
+    small mixed-size directory; writes per-image outputs + metrics.csv."""
+    cfg, ckpt, ws = micro_ckpt
+    rng = np.random.default_rng(2)
+    d = ws / "part_in"
+    d.mkdir(exist_ok=True)
+    for i, (h, w) in enumerate([(64, 64), (64, 64), (96, 64)]):
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8), "RGB"
+        ).save(d / f"img_{i}.png")
+    out = ws / "part_out"
+    _run_cli(
+        "inference_partition.py",
+        ["--ckpt", str(ckpt), "--config", str(cfg),
+         "--input", str(d), "--output", str(out),
+         "--steps", "2", "--batch_size", "2"],
+    )
+    outs = sorted(p.name for p in out.glob("*.png"))
+    assert outs == ["img_0.png", "img_1.png", "img_2.png"]
+    assert (out / "metrics.csv").exists()
+
+
+def test_tiled_inference_cli(micro_ckpt):
+    """tiled_inference.py: image larger than the tile -> overlap-stitched
+    output at the input size."""
+    cfg, ckpt, ws = micro_ckpt
+    rng = np.random.default_rng(3)
+    img = ws / "big.png"
+    Image.fromarray(
+        rng.integers(0, 255, (96, 128, 3), dtype=np.uint8), "RGB"
+    ).save(img)
+    out = ws / "tiled_out"
+    _run_cli(
+        "tiled_inference.py",
+        ["--ckpt", str(ckpt), "--config", str(cfg),
+         "--input", str(img), "--output", str(out),
+         "--tile", "64", "--overlap", "32", "--steps", "2"],
+    )
+    rec = Image.open(next(out.glob("*.png")))
+    assert rec.size == (128, 96)
