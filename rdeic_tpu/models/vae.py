@@ -73,7 +73,7 @@ class AttnBlock(nn.Module):
         q = Conv(c, kernel=1, dtype=self.dtype, name="q")(hidden).reshape(b, h * w, c)
         k = Conv(c, kernel=1, dtype=self.dtype, name="k")(hidden).reshape(b, h * w, c)
         v = Conv(c, kernel=1, dtype=self.dtype, name="v")(hidden).reshape(b, h * w, c)
-        # auto-dispatch: Pallas flash on TPU once h*w >= 256 tokens (at
+        # auto-dispatch: Pallas flash on TPU once h*w >= 1024 tokens (at
         # 768x512 input the mid-block attends over 96*64 = 6144 tokens;
         # full attention would materialize a [B, 6144, 6144] matrix,
         # ~150 MB/image — the flash path never forms it)

@@ -301,8 +301,12 @@ def _dkv_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BQ, BK]
     row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + nq * block_q
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + pl.program_id(1) * block_k
     p = jnp.exp(s - lse_ref[0][:, :1])
-    p = jnp.where(row < seq_q, p, 0.0)  # padded q rows contribute nothing
+    # mask padded q rows AND padded k cols: without the col mask, exp() on
+    # garbage-k scores can overflow into the dk/dv accumulators (the caller
+    # slices those rows off, but the kernel should be self-contained)
+    p = jnp.where((row < seq_q) & (col < seq_k), p, 0.0)
     dv_acc[...] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BK, D]

@@ -119,6 +119,7 @@ class RDEIC:
             control_model_ratio=ctrl.get("control_model_ratio", 0.2),
             control_scale=ctrl.get("control_scale", 1.0),
             use_checkpoint=bool(ctrl.get("use_checkpoint", False)),
+            remat_policy=ctrl.get("remat_policy", unet.get("remat_policy")),
             dtype=dtype,
         )
         dd = vae_cfg.get("ddconfig", {})
