@@ -24,43 +24,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _fast_random_params(model, image_hw, scale: float = 1.0):
-    """Params with the right tree/shapes but cheap per-leaf random values.
-
-    Avoids compiling the monolithic init program (slow over the TPU tunnel);
-    throughput does not depend on trained weight values. Fills are
-    variance-preserving (fan-in scaled, norm scales = 1, biases = 0) so
-    activations stay O(1) through the full-width 60+-layer stacks — a flat
-    per-leaf scale explodes exponentially once fan-in is large (0.02 *
-    sqrt(9*1280) > 2 gain per conv) and NaNs the training loss.
-    """
-    template = jax.eval_shape(
-        lambda r: model.init_params(r, image_hw=image_hw), jax.random.PRNGKey(0)
-    )
-    rng = np.random.default_rng(0)
-    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
-    out = []
-    for path, leaf in flat:
-        name = ""
-        for p in reversed(path):
-            name = str(getattr(p, "key", getattr(p, "name", p)))
-            break
-        if name == "scale":  # GroupNorm / LayerNorm gain
-            arr = np.ones(leaf.shape, leaf.dtype)
-        elif name == "bias" or name == "vq_embed_prob":
-            # vq_embed_prob is a usage EMA (must be >= 0: a negative fill
-            # makes the CVQ dead-code alpha = exp(+large) = inf)
-            arr = np.zeros(leaf.shape, leaf.dtype)
-        elif leaf.ndim >= 2:  # conv/dense kernels, embeddings: LeCun normal
-            fan_in = int(np.prod(leaf.shape[:-1]))
-            std = scale / np.sqrt(max(fan_in, 1))
-            arr = (rng.standard_normal(leaf.shape) * std).astype(leaf.dtype)
-        else:
-            arr = (rng.standard_normal(leaf.shape) * 0.02).astype(leaf.dtype)
-        out.append(jax.device_put(jnp.asarray(arr)))
-    return jax.tree_util.tree_unflatten(
-        treedef, out
-    )
+from rdeic_tpu.utils.fast_init import fast_random_params as _fast_random_params  # noqa: E402
 
 
 def main():
@@ -96,6 +60,11 @@ def main():
         metric = "kodak_768x512_encdec_ms_per_image"
         log("materializing full-size params (eval_shape + per-leaf fill)...")
         params = _fast_random_params(model, (H, W))
+        if _os.environ.get("RDEIC_BENCH_FP32") != "1":
+            # bf16 weight storage halves the diffusion/VAE HBM footprint
+            # (5.2 -> 2.2 GB), lifting the decode-scan batch ceiling
+            params = model.cast_inference_params(params)
+            log("inference params stored bf16 (vae/denoiser)")
 
     img01 = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (1, H, W, 3)).astype(np.float32)
@@ -170,37 +139,47 @@ def main():
     batched = (time.time() - t0) * 1000 / B
     log(f"batched ms/image (B={B}): {batched:.0f}")
 
-    # chunked-pipelined serving path: the codec of chunk k+1 (host rANS +
-    # small entropy-pass programs) runs on a worker thread while chunk k's
-    # decode scan (pure device compute) executes — same overlap structure as
-    # inference_partition.py. Steady-state cost/chunk ~= max(codec, scan)
-    # instead of their sum.
-    CH = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_CHUNK", "8"))
+    # 3-stage pipelined serving path: compress (chunk k+2), decompress
+    # (chunk k+1), and the decode scan (chunk k) overlap on separate
+    # threads — the serving configuration for a stream of images.
+    # Steady-state cost/chunk ~= max(compress, decompress, scan) instead of
+    # their sum (measured ~71/79/57 ms/img at chunk=24 on one v5e).
+    CH = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_CHUNK", "24"))
     NCH = 1 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_NCHUNKS", "4"))
     chunk_imgs = jnp.tile(img01, (CH, 1, 1, 1))
     fn_c = model.jitted_decode(steps=2)
 
-    def codec_stage(k):
+    def compress_stage(k):
         cpaths = [str(tmp / f"c{k}_{i}.rdeic") for i in range(CH)]
         model.apply_condition_compress_batch(params, chunk_imgs, cpaths)
-        return model.apply_condition_decompress_batch(params, cpaths)
+        return cpaths
+
+    def decompress_stage(cpaths):
+        cl, gh = model.apply_condition_decompress_batch(params, cpaths)
+        jax.block_until_ready((cl, gh))
+        return cl, gh
 
     def chunked_run():
-        pool = ThreadPoolExecutor(max_workers=1)
-        fut = pool.submit(codec_stage, 0)
+        enc_pool = ThreadPoolExecutor(max_workers=1)
+        dec_pool = ThreadPoolExecutor(max_workers=1)
+        enc_futs = [enc_pool.submit(compress_stage, k) for k in range(NCH)]
+        dec_fut = dec_pool.submit(decompress_stage, enc_futs[0].result())
         for k in range(NCH):
-            cl, gh = fut.result()
+            cl, gh = dec_fut.result()
             if k + 1 < NCH:
-                fut = pool.submit(codec_stage, k + 1)
+                dec_fut = dec_pool.submit(
+                    decompress_stage, enc_futs[k + 1].result()
+                )
             out = fn_c(params, cl, gh, jax.random.PRNGKey(40 + k))
         jax.block_until_ready(out)
-        pool.shutdown()
+        enc_pool.shutdown()
+        dec_pool.shutdown()
 
     chunked_run()  # warm chunk shapes
     t0 = time.time()
     chunked_run()
     chunked = (time.time() - t0) * 1000 / (CH * NCH)
-    log(f"chunked-pipelined ms/image (chunk={CH} x {NCH}): {chunked:.0f}")
+    log(f"pipelined-3stage ms/image (chunk={CH} x {NCH}): {chunked:.0f}")
     value = float(min(np.median(lat), pipelined, batched, chunked))
 
     # MFU of the 2-step relay decode scan (XLA flop count vs v5e bf16 peak)

@@ -16,7 +16,7 @@ from PIL import Image
 
 from rdeic_tpu.data.dataset import list_image_files
 from rdeic_tpu.registry import instantiate_from_config, load_yaml
-from rdeic_tpu.utils.checkpoint_io import load_params_npz
+from rdeic_tpu.utils.checkpoint_io import load_inference_params
 from rdeic_tpu.utils.image import pad, to_float01, to_uint8
 
 
@@ -39,7 +39,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", type=str, required=True,
-                    help="params checkpoint (.npz from the converter/trainer)")
+                    help="params .npz (converter) or an orbax train-state "
+                         "checkpoint dir (train.py runs/*/checkpoints[/step_N])")
     ap.add_argument("--config", type=str, default="configs/model/rdeic.yaml")
     ap.add_argument("--input", type=str, required=True, help="image file or dir")
     ap.add_argument("--output", type=str, required=True)
@@ -57,7 +58,7 @@ def main():
         import jax.numpy as jnp
 
         model.set_compute_dtype(jnp.bfloat16)
-    params = load_params_npz(args.ckpt)
+    params = load_inference_params(args.ckpt)
 
     in_path = Path(args.input)
     files = [str(in_path)] if in_path.is_file() else list_image_files(str(in_path))

@@ -32,6 +32,7 @@ class CdfTable:
         self.offset = _as_i32(offset).reshape(-1)
         assert self.cdf.ndim == 2
         assert self.cdf.shape[0] == self.length.shape[0] == self.offset.shape[0]
+        self._lut = None  # cum -> symbol table, built on first decode
 
     @property
     def ncdfs(self) -> int:
@@ -40,6 +41,20 @@ class CdfTable:
     @property
     def max_len(self) -> int:
         return self.cdf.shape[1]
+
+    def lut(self) -> np.ndarray:
+        """cum -> symbol lookup table (O(1) decode instead of binary
+        search; ~65536 * ncdfs uint16, bit-identical decode output)."""
+        if self._lut is None:
+            lib = load_library()
+            lut = np.empty(self.ncdfs * 65536, dtype=np.uint16)
+            lib.rans_build_lut(
+                _ptr_i32(self.cdf), _ptr_i32(self.length),
+                self.ncdfs, self.max_len,
+                lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            )
+            self._lut = lut
+        return self._lut
 
 
 class BufferedRansEncoder:
@@ -107,6 +122,11 @@ class RansDecoder:
         )
 
     def decode_stream(self, indexes, table: CdfTable) -> np.ndarray:
+        # NOTE: the flat cum->symbol LUT variant (rans_decode_stream_lut)
+        # measured SLOWER here (141 vs 63 ms / 1.57M syms): the 8 MB table
+        # misses cache on every random cum, while the binary search touches
+        # a hot <2 KB cdf row. Kept for table-resident targets; default is
+        # the binary-search path.
         if self._handle is None:
             raise RuntimeError("set_stream must be called first")
         i = _as_i32(indexes).reshape(-1)
@@ -115,6 +135,23 @@ class RansDecoder:
             self._handle, _ptr_i32(i), i.shape[0],
             _ptr_i32(table.cdf), _ptr_i32(table.length), _ptr_i32(table.offset),
             table.ncdfs, table.max_len, _ptr_i32(out),
+        )
+        if rc != 0:
+            raise ValueError(f"rans_decode_stream failed rc={rc}")
+        return out
+
+    def decode_stream_lut(self, indexes, table: CdfTable) -> np.ndarray:
+        """LUT-variant decode (bit-identical; see note in decode_stream)."""
+        if self._handle is None:
+            raise RuntimeError("set_stream must be called first")
+        i = _as_i32(indexes).reshape(-1)
+        out = np.empty(i.shape[0], dtype=np.int32)
+        lut = table.lut()
+        rc = self._lib.rans_decode_stream_lut(
+            self._handle, _ptr_i32(i), i.shape[0],
+            _ptr_i32(table.cdf), _ptr_i32(table.length), _ptr_i32(table.offset),
+            table.ncdfs, table.max_len,
+            lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), _ptr_i32(out),
         )
         if rc != 0:
             raise ValueError(f"rans_decode_stream failed rc={rc}")

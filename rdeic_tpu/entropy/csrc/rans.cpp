@@ -219,6 +219,64 @@ int rans_decode_stream(void* dec, const int32_t* indexes, int n,
   return 0;
 }
 
+// Build a cum -> symbol lookup table for O(1) symbol resolution:
+// lut[idx * 2^16 + cum] = s with cdf[s] <= cum < cdf[s+1]. The quantized
+// CDFs span the full 16-bit range; any tail gap maps to the escape slot.
+// Replaces the per-symbol binary search (the decode hot loop) — the table
+// is ncdfs * 65536 * 2 bytes (~8 MB for the 64-scale Gaussian set), built
+// once per CdfTable.
+void rans_build_lut(const int32_t* cdfs, const int32_t* cdf_lengths,
+                    int ncdfs, int max_len, uint16_t* lut) {
+  for (int idx = 0; idx < ncdfs; ++idx) {
+    const int32_t* cdf = cdfs + static_cast<size_t>(idx) * max_len;
+    const int len = cdf_lengths[idx];
+    uint16_t* row = lut + (static_cast<size_t>(idx) << kProbBits);
+    uint32_t cum = 0;
+    for (int s = 0; s < len - 1; ++s) {
+      const uint32_t hi = static_cast<uint32_t>(cdf[s + 1]);
+      for (; cum < hi && cum < (1u << kProbBits); ++cum)
+        row[cum] = static_cast<uint16_t>(s);
+    }
+    for (; cum < (1u << kProbBits); ++cum)
+      row[cum] = static_cast<uint16_t>(len - 2);  // escape slot
+  }
+}
+
+// LUT-accelerated variant of rans_decode_stream (bit-identical output).
+int rans_decode_stream_lut(void* dec, const int32_t* indexes, int n,
+                           const int32_t* cdfs, const int32_t* cdf_lengths,
+                           const int32_t* offsets, int ncdfs, int max_len,
+                           const uint16_t* lut, int32_t* out) {
+  Decoder* d = static_cast<Decoder*>(dec);
+  for (int i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= ncdfs) return -2;
+    const int32_t* cdf = cdfs + static_cast<size_t>(idx) * max_len;
+    const int64_t max_value = cdf_lengths[idx] - 2;
+
+    const uint32_t cum = d->dec_get_cum();
+    const int s = lut[(static_cast<size_t>(idx) << kProbBits) | cum];
+    d->dec_advance(cdf[s], cdf[s + 1] - cdf[s]);
+
+    int64_t v;
+    if (s == max_value) {
+      uint32_t z = 0;
+      int shift = 0;
+      for (;;) {
+        const uint32_t c = d->dec_raw(4);
+        z |= (c & 7) << shift;
+        shift += 3;
+        if (!(c & 8) || shift > 30) break;
+      }
+      v = unzigzag_escape(z, max_value);
+    } else {
+      v = s;
+    }
+    out[i] = static_cast<int32_t>(v + offsets[idx]);
+  }
+  return 0;
+}
+
 // One-shot decode convenience (stream created and freed internally).
 int rans_decode_with_indexes(const uint8_t* stream, int nbytes,
                              const int32_t* indexes, int n,

@@ -57,6 +57,34 @@ def restore_checkpoint(
     return restored, step
 
 
+def load_inference_params(path: str) -> Any:
+    """Load merged model params for inference from either format:
+
+    - `*.npz` — flat params export (converter / save_params_npz)
+    - an orbax train-state checkpoint: a `step_N` dir, or a checkpoint
+      dir containing them (latest wins) — restored raw (no template) and
+      the train/frozen subtrees merged back into one params tree
+
+    Closes the train.py -> checkpoint -> inference.py loop without an
+    export step (reference leaves resume/export as a TODO, train.py:20-22).
+    """
+    if str(path).endswith(".npz"):
+        return load_params_npz(path)
+    p = Path(path)
+    if p.is_dir() and not p.name.startswith("step_"):
+        steps = list_checkpoints(str(p))
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        p = p / f"step_{steps[-1]}"
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(p.absolute())
+    if not (isinstance(raw, dict) and {"train_params", "frozen_params"} <= set(raw)):
+        raise ValueError(f"{p} is not a train-state checkpoint")
+    from rdeic_tpu.train.trainer import merge_params  # noqa: PLC0415
+
+    return merge_params(raw["train_params"], raw["frozen_params"])
+
+
 def save_params_npz(path: str, params: Any):
     """Portable flat .npz export of a params pytree (for weight exchange)."""
     from flax.traverse_util import flatten_dict  # noqa: PLC0415

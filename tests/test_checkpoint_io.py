@@ -1,0 +1,119 @@
+"""Orbax train-state checkpointing: save/restore round-trip, resume
+semantics, and inference-params loading straight from a train checkpoint.
+
+Role parity: the reference leaves full-state resume as a TODO
+(/root/reference/train.py:20-22); this pins the upgraded behavior.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.helpers import micro_rdeic
+
+
+@pytest.fixture(scope="module")
+def trained_state():
+    from rdeic_tpu.train.trainer import Trainer
+
+    model = micro_rdeic()
+    params = model.init_params(jax.random.PRNGKey(0), image_hw=(32, 32))
+    trainer = Trainer(model, frozen_dtype=jnp.bfloat16)
+    state = trainer.init_state(params, jax.random.PRNGKey(1))
+    img = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32
+    )
+    state, _ = trainer.step(state, img)
+    return model, trainer, state, img
+
+
+def test_save_restore_roundtrip(trained_state, tmp_path):
+    from rdeic_tpu.utils.checkpoint_io import (
+        list_checkpoints,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model, trainer, state, img = trained_state
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt_dir, 1, jax.device_get(state))
+    assert list_checkpoints(ckpt_dir) == [1]
+
+    template = jax.tree_util.tree_map(np.zeros_like, jax.device_get(state))
+    restored, step = restore_checkpoint(ckpt_dir, template)
+    assert step == 1
+    a = jax.tree_util.tree_leaves(jax.device_get(state))
+    b = jax.tree_util.tree_leaves(restored)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+    # dtypes survive (frozen bf16, trainables fp32)
+    assert all(np.asarray(x).dtype == np.asarray(y).dtype for x, y in zip(a, b))
+
+    # resumed training continues without recompile errors
+    state2, logs = trainer.step(
+        jax.tree_util.tree_map(jnp.asarray, restored), img
+    )
+    assert np.isfinite(float(logs["loss"]))
+    assert int(state2.step) == int(state.step) + 1
+
+
+def test_keep_prunes_old_checkpoints(trained_state, tmp_path):
+    from rdeic_tpu.utils.checkpoint_io import list_checkpoints, save_checkpoint
+
+    _, _, state, _ = trained_state
+    host = jax.device_get(state)
+    ckpt_dir = str(tmp_path / "ckpts")
+    for s in (1, 2, 3):
+        save_checkpoint(ckpt_dir, s, host, keep=2)
+    assert list_checkpoints(ckpt_dir) == [2, 3]
+
+
+def test_load_inference_params_from_train_ckpt(trained_state, tmp_path):
+    """An orbax train-state dir loads as merged inference params that are
+    byte-identical to the in-memory merged tree, and decode runs on them."""
+    from rdeic_tpu.utils.checkpoint_io import (
+        load_inference_params,
+        save_checkpoint,
+    )
+
+    model, trainer, state, _ = trained_state
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt_dir, 5, jax.device_get(state))
+
+    for path in (ckpt_dir, str(tmp_path / "ckpts" / "step_5")):
+        loaded = load_inference_params(path)
+        ref = jax.device_get(trainer.params(state))
+        a = jax.tree_util.tree_leaves(ref)
+        b = jax.tree_util.tree_leaves(jax.device_get(loaded))
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+    cl = jnp.zeros((1, 16, 16, 4))
+    gh = jnp.zeros((1, 16, 16, model.denoiser.hint_channels))
+    out = model.jitted_decode(steps=2)(
+        jax.tree_util.tree_map(jnp.asarray, loaded), cl, gh,
+        jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_load_inference_params_npz(trained_state, tmp_path):
+    from rdeic_tpu.utils.checkpoint_io import (
+        load_inference_params,
+        save_params_npz,
+    )
+
+    model, trainer, state, _ = trained_state
+    params = jax.device_get(trainer.params(state))
+    # npz export casts to fp32-storable dtypes upstream of save
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) or
+        str(np.asarray(x).dtype) == "bfloat16" else np.asarray(x),
+        params,
+    )
+    p = str(tmp_path / "params.npz")
+    save_params_npz(p, params)
+    loaded = load_inference_params(p)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(jax.device_get(loaded))
+    assert all(np.allclose(np.asarray(x, np.float32), np.asarray(y, np.float32))
+               for x, y in zip(a, b))

@@ -121,3 +121,42 @@ def test_bitstream_format_stability(table):
     import hashlib
 
     assert hashlib.md5(stream).hexdigest() == golden, stream.hex()
+
+
+def test_lut_decode_matches_binary_search(table):
+    """The O(1) LUT decode path must be bit-identical to the binary-search
+    path (same stream, same symbols), including escape/bypass symbols."""
+    import ctypes
+
+    from rdeic_tpu.entropy.build import load_library
+    from rdeic_tpu.entropy.coder import _as_i32, _ptr_i32
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    indexes = rng.integers(0, 64, size=n).astype(np.int32)
+    scales = get_scale_table()[indexes]
+    symbols = np.round(rng.normal(0, scales * 3)).astype(np.int32)  # escapes
+    symbols[:100] = rng.integers(-50000, 50000, size=100)
+    stream = rans_encode(symbols, indexes, table)
+
+    dec = RansDecoder()
+    dec.set_stream(stream)
+    lut_out = dec.decode_stream_lut(indexes, table)
+    dec.close()
+
+    # raw binary-search path
+    lib = load_library()
+    buf = np.frombuffer(stream, dtype=np.uint8)
+    i = _as_i32(indexes)
+    out = np.empty(n, dtype=np.int32)
+    rc = lib.rans_decode_with_indexes(
+        np.ascontiguousarray(buf).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)
+        ),
+        buf.shape[0], _ptr_i32(i), n,
+        _ptr_i32(table.cdf), _ptr_i32(table.length), _ptr_i32(table.offset),
+        table.ncdfs, table.max_len, _ptr_i32(out),
+    )
+    assert rc == 0
+    np.testing.assert_array_equal(lut_out, out)
+    np.testing.assert_array_equal(lut_out, symbols)

@@ -12,7 +12,17 @@ import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def _deep_update(dst: dict, src: dict) -> dict:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_update(dst[k], v)
+        else:
+            dst[k] = v
+    return dst
 
 from rdeic_tpu.parallel.mesh import batch_sharding, make_mesh
 from rdeic_tpu.registry import instantiate_from_config, load_yaml
@@ -70,16 +80,27 @@ def main():
 
     data = instantiate_from_config(cfg["data"])
     model_cfg = load_yaml(cfg["model"]["config"])
+    # model.overrides: deep-merged into the model YAML's params (the
+    # Lightning-config analog of per-run hyperparameter overrides, e.g.
+    # use_checkpoint / remat_policy / is_refine without a config fork)
+    _deep_update(model_cfg.setdefault("params", {}),
+                 cfg.get("model", {}).get("overrides") or {})
     model = instantiate_from_config(model_cfg)
+    compute_dtype = tcfg.get("compute_dtype")
+    if compute_dtype:
+        model.set_compute_dtype(jnp.dtype(compute_dtype))
+        print(f"[compute dtype: {compute_dtype}]")
 
     mesh_cfg = tcfg.get("mesh") or {}
     mesh = make_mesh(dp=mesh_cfg.get("dp"), tp=int(mesh_cfg.get("tp") or 1))
 
+    frozen_dtype = tcfg.get("frozen_dtype")
     trainer = Trainer(
         model,
         learning_rate=tcfg.get("learning_rate"),
         accumulate_grad_batches=int(tcfg.get("accumulate_grad_batches", 1)),
         mesh=mesh,
+        frozen_dtype=jnp.dtype(frozen_dtype) if frozen_dtype else None,
     )
 
     out_dir = tcfg.get("out_dir", "./runs/rdeic")
@@ -90,7 +111,15 @@ def main():
 
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
-    params = model.init_params(init_rng, image_hw=tuple(image_hw))
+    if tcfg.get("fast_init"):
+        # from-scratch full-width runs: skip the monolithic init compile
+        # (minutes over a remote-TPU tunnel); values are variance-preserving
+        # random — the reference's analog loads sync_path SD weights instead
+        from rdeic_tpu.utils.fast_init import fast_random_params
+
+        params = fast_random_params(model, tuple(image_hw), seed=seed)
+    else:
+        params = model.init_params(init_rng, image_hw=tuple(image_hw))
     resume = cfg.get("model", {}).get("resume")
     # sync_path: SD 2.1 torch checkpoint -> converted into the fresh params
     # (with control-weight sync, rdeic.py:962-991) when not resuming.
