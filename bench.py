@@ -28,13 +28,11 @@ from rdeic_tpu.utils.fast_init import fast_random_params as _fast_random_params 
 
 
 def main():
-    # persistent XLA compile cache: repeat bench runs skip the warmup compiles
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/rdeic_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    # persistent XLA compile cache: repeat bench runs skip the warmup
+    # compiles (repo-local default so it survives /tmp cleanup)
+    from rdeic_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     platform = jax.devices()[0].platform
     log(f"devices: {jax.devices()} (platform={platform})")
 

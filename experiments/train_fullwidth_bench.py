@@ -90,6 +90,9 @@ def main():
                     choices=["dots"],
                     help="selective remat: save matmul/conv outputs, "
                     "recompute elementwise only")
+    ap.add_argument("--frozen_bf16", action="store_true",
+                    help="store the frozen SD subtree bf16 (halves its HBM "
+                    "reads per step; trainables/optimizer stay fp32)")
     args = ap.parse_args()
 
     from rdeic_tpu.registry import instantiate_from_config, load_yaml
@@ -123,7 +126,10 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"params: {n_params/1e9:.3f}B leaves in {time.time()-t0:.1f}s")
 
-    trainer = Trainer(model, accumulate_grad_batches=args.accum)
+    trainer = Trainer(
+        model, accumulate_grad_batches=args.accum,
+        frozen_dtype=jnp.bfloat16 if args.frozen_bf16 else None,
+    )
     state = trainer.init_state(params, jax.random.PRNGKey(0))
     n_train = sum(
         x.size for x in jax.tree_util.tree_leaves(state.train_params)

@@ -1,7 +1,16 @@
-"""Persistent XLA compile cache (compiles through the TPU tunnel are slow)."""
+"""Persistent XLA compile cache (compiles through the TPU tunnel are slow).
+
+Default location is repo-local (`<repo>/.jax_cache`, gitignored) so warm
+starts survive /tmp cleanup between sessions — the round-2 driver bench
+paid a 19-minute cold warmup because /tmp was fresh. Override with
+RDEIC_CACHE_DIR.
+"""
 from __future__ import annotations
 
 import os
+from pathlib import Path
+
+_DEFAULT = str(Path(__file__).resolve().parent.parent.parent / ".jax_cache")
 
 
 def enable_compile_cache(path: str | None = None) -> None:
@@ -10,7 +19,7 @@ def enable_compile_cache(path: str | None = None) -> None:
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            path or os.environ.get("RDEIC_CACHE_DIR", "/tmp/rdeic_jax_cache"),
+            path or os.environ.get("RDEIC_CACHE_DIR", _DEFAULT),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

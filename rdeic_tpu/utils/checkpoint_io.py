@@ -14,6 +14,111 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def fetch_tree(tree: Any, retries: int = 4) -> Any:
+    """Device->host fetch, leaf by leaf, with retry.
+
+    Through a remote-TPU tunnel a monolithic `jax.device_get` of a
+    multi-GB train state can fail with RESOURCE_EXHAUSTED mid-transfer
+    (observed on the 1.03B-param state; link runs ~20 MB/s). Per-leaf
+    fetch with backoff rides out transient tunnel pressure.
+    """
+    import time  # noqa: PLC0415
+
+    def get(x):
+        if not isinstance(x, jax.Array):
+            return x
+        err = None
+        for attempt in range(retries):
+            try:
+                return np.asarray(x)
+            except Exception as e:  # jax.errors.JaxRuntimeError and kin
+                err = e
+                time.sleep(1.5 * (attempt + 1))
+        raise err
+
+    return jax.tree_util.tree_map(get, tree)
+
+
+def save_train_checkpoint(ckpt_dir: str, step: int, state: Any, keep: int = -1):
+    """Split train-state checkpoint sized for a slow device->host link.
+
+    The frozen subtree (953M SD weights at full width) is immutable during
+    training, so it is written ONCE to `<ckpt_dir>/frozen`; every step
+    save then transfers only the trainables + optimizer + step/rng
+    (`step_<N>` dirs) — ~10x less per-save traffic at full width. The one
+    mutable "frozen" leaf — the codebook usage EMA `vq_embed_prob`,
+    updated every step for dead-code reinit — rides in the step save.
+    Layout is understood by restore_train_checkpoint and
+    load_inference_params.
+    """
+    base = Path(ckpt_dir).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    frozen_static = {k: v for k, v in state.frozen_params.items()
+                     if k != "vq_embed_prob"}
+    if not (base / "frozen").exists():
+        ckptr.save(base / "frozen", fetch_tree(frozen_static), force=True)
+        ckptr.wait_until_finished()
+    small = {
+        "step": np.asarray(state.step),
+        "train_params": fetch_tree(state.train_params),
+        "opt_state": fetch_tree(state.opt_state),
+        "rng": np.asarray(state.rng),
+        "ema_params": fetch_tree(state.ema_params),
+        "frozen_mutable": fetch_tree({
+            k: v for k, v in state.frozen_params.items()
+            if k == "vq_embed_prob"
+        }),
+    }
+    path = base / f"step_{step}"
+    ckptr.save(path, small, force=True)
+    ckptr.wait_until_finished()
+    if keep > 0:
+        for s in sorted(list_checkpoints(ckpt_dir))[:-keep]:
+            import shutil  # noqa: PLC0415
+
+            shutil.rmtree(base / f"step_{s}", ignore_errors=True)
+    return str(path)
+
+
+def restore_train_checkpoint(
+    ckpt_dir: str, template_state: Any, step: Optional[int] = None
+) -> tuple[Any, int]:
+    """Restore a split checkpoint (see save_train_checkpoint) into a
+    TrainState built by Trainer.init_state. Falls back to the monolithic
+    layout when no `frozen` dir exists."""
+    base = Path(ckpt_dir).absolute()
+    if not (base / "frozen").exists():
+        return restore_checkpoint(ckpt_dir, template_state, step)
+    steps = list_checkpoints(ckpt_dir)
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    step = step if step is not None else steps[-1]
+    ckptr = ocp.StandardCheckpointer()
+    tpl_frozen = jax.device_get(template_state.frozen_params)
+    frozen = ckptr.restore(
+        base / "frozen",
+        {k: v for k, v in tpl_frozen.items() if k != "vq_embed_prob"},
+    )
+    small_tpl = {
+        "step": np.asarray(template_state.step),
+        "train_params": jax.device_get(template_state.train_params),
+        "opt_state": jax.device_get(template_state.opt_state),
+        "rng": np.asarray(template_state.rng),
+        "ema_params": jax.device_get(template_state.ema_params),
+        "frozen_mutable": {k: v for k, v in tpl_frozen.items()
+                           if k == "vq_embed_prob"},
+    }
+    small = ckptr.restore(base / f"step_{step}", small_tpl)
+    frozen = dict(frozen)
+    frozen.update(small["frozen_mutable"])
+    state = template_state.replace(
+        step=small["step"], train_params=small["train_params"],
+        opt_state=small["opt_state"], rng=small["rng"],
+        ema_params=small["ema_params"], frozen_params=frozen,
+    )
+    return state, step
+
+
 def save_checkpoint(ckpt_dir: str, step: int, tree: Any, keep: int = -1):
     """Save a pytree checkpoint at `ckpt_dir/step_<N>`."""
     path = Path(ckpt_dir).absolute() / f"step_{step}"
@@ -71,17 +176,28 @@ def load_inference_params(path: str) -> Any:
     if str(path).endswith(".npz"):
         return load_params_npz(path)
     p = Path(path)
+    frozen_dir = None
     if p.is_dir() and not p.name.startswith("step_"):
         steps = list_checkpoints(str(p))
         if not steps:
             raise FileNotFoundError(f"no checkpoints under {path}")
+        if (p / "frozen").exists():
+            frozen_dir = p / "frozen"
         p = p / f"step_{steps[-1]}"
+    elif (p.parent / "frozen").exists():
+        frozen_dir = p.parent / "frozen"
     ckptr = ocp.StandardCheckpointer()
     raw = ckptr.restore(p.absolute())
-    if not (isinstance(raw, dict) and {"train_params", "frozen_params"} <= set(raw)):
-        raise ValueError(f"{p} is not a train-state checkpoint")
     from rdeic_tpu.train.trainer import merge_params  # noqa: PLC0415
 
+    if frozen_dir is not None:  # split layout (save_train_checkpoint)
+        if not (isinstance(raw, dict) and "train_params" in raw):
+            raise ValueError(f"{p} is not a train-state checkpoint")
+        frozen = dict(ckptr.restore(frozen_dir.absolute()))
+        frozen.update(raw.get("frozen_mutable") or {})
+        return merge_params(raw["train_params"], frozen)
+    if not (isinstance(raw, dict) and {"train_params", "frozen_params"} <= set(raw)):
+        raise ValueError(f"{p} is not a train-state checkpoint")
     return merge_params(raw["train_params"], raw["frozen_params"])
 
 

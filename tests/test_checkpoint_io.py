@@ -95,6 +95,48 @@ def test_load_inference_params_from_train_ckpt(trained_state, tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_split_checkpoint_roundtrip(trained_state, tmp_path):
+    """save_train_checkpoint writes the frozen subtree once + small step
+    dirs; restore_train_checkpoint reassembles the exact state; the split
+    layout also feeds load_inference_params (the serving path)."""
+    from rdeic_tpu.utils.checkpoint_io import (
+        list_checkpoints,
+        load_inference_params,
+        restore_train_checkpoint,
+        save_train_checkpoint,
+    )
+
+    model, trainer, state, img = trained_state
+    ckpt_dir = str(tmp_path / "split")
+    save_train_checkpoint(ckpt_dir, 1, state)
+    img2 = jnp.asarray(np.asarray(img))  # state will be donated by step
+    state2, _ = trainer.step(
+        jax.tree_util.tree_map(jnp.asarray, jax.device_get(state)), img2
+    )
+    save_train_checkpoint(ckpt_dir, 2, state2, keep=1)
+    # frozen written once; keep=1 pruned step_1
+    assert (tmp_path / "split" / "frozen").exists()
+    assert list_checkpoints(ckpt_dir) == [2]
+
+    fresh = jax.tree_util.tree_map(
+        jnp.asarray, jax.device_get(trainer.params(state2))
+    )
+    template = trainer.init_state(fresh, jax.random.PRNGKey(9))
+    restored, step = restore_train_checkpoint(ckpt_dir, template)
+    assert step == 2
+    a = jax.tree_util.tree_leaves(jax.device_get(state2))
+    b = jax.tree_util.tree_leaves(jax.device_get(restored))
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b))
+
+    merged = load_inference_params(ckpt_dir)
+    ref = jax.device_get(trainer.params(restored))
+    a = jax.tree_util.tree_leaves(ref)
+    b = jax.tree_util.tree_leaves(jax.device_get(merged))
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b))
+
+
 def test_load_inference_params_npz(trained_state, tmp_path):
     from rdeic_tpu.utils.checkpoint_io import (
         load_inference_params,

@@ -30,8 +30,8 @@ from rdeic_tpu.train.trainer import Trainer
 from rdeic_tpu.utils.checkpoint_io import (
     list_checkpoints,
     load_params_npz,
-    restore_checkpoint,
-    save_checkpoint,
+    restore_train_checkpoint,
+    save_train_checkpoint,
 )
 
 
@@ -141,7 +141,8 @@ def main():
     state = trainer.init_state(params, rng)
     start_step = 0
     if resume and not str(resume).endswith(".npz") and list_checkpoints(resume):
-        state, start_step = restore_checkpoint(resume, state)
+        state, start_step = restore_train_checkpoint(resume, state)
+        state = jax.tree_util.tree_map(jnp.asarray, state)
         print(f"[resumed full train state from step {start_step}]")
 
     logger = MetricLogger(out_dir)
@@ -181,11 +182,13 @@ def main():
                     f"{k}={float(v):.4g}" for k, v in logs.items()
                 ))
             if step % ckpt_every == 0:
-                path = save_checkpoint(
-                    ckpt_dir, step, jax.device_get(state),
+                t_ck = time.time()
+                path = save_train_checkpoint(
+                    ckpt_dir, step, state,
                     keep=int(tcfg.get("ckpt_keep", -1)),
                 )
-                print(f"[checkpoint saved: {path}]")
+                print(f"[checkpoint saved: {path} "
+                      f"({time.time() - t_ck:.0f}s)]")
             try:
                 image_logger.maybe_log(
                     model, trainer.params(state), batch["jpg"], step,
@@ -202,7 +205,7 @@ def main():
                 print(f"validation @ {step}: {vm}")
             if step >= max_steps:
                 break
-    save_checkpoint(ckpt_dir, step, jax.device_get(state))
+    save_train_checkpoint(ckpt_dir, step, state)
     print("done")
 
 
