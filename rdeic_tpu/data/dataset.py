@@ -54,6 +54,7 @@ class LICDataset:
         use_hflip: bool = True,
         use_rot: bool = False,
         seed: Optional[int] = None,
+        cache_size: int = 0,
     ):
         self.paths = load_file_list(file_list)
         self.out_size = out_size
@@ -62,11 +63,28 @@ class LICDataset:
         self.use_hflip = use_hflip
         self.use_rot = use_rot
         self.rng = random.Random(seed)
+        # decoded-image RAM cache (FIFO, capped at cache_size entries):
+        # on a 1-core host PNG decode per __getitem__ can bound training
+        # throughput once steps are fast; small curated lists fit easily
+        self.cache_size = int(cache_size)
+        self._cache: dict = {}
 
     def __len__(self) -> int:
         return len(self.paths)
 
     def _load(self, path: str) -> Image.Image:
+        if self.cache_size:
+            hit = self._cache.get(path)
+            if hit is not None:
+                return hit
+        img = self._load_uncached(path)
+        if self.cache_size:
+            if len(self._cache) >= self.cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[path] = img
+        return img
+
+    def _load_uncached(self, path: str) -> Image.Image:
         # 3-retry load with a short sleep (licdataset.py behavior)
         for attempt in range(3):
             try:

@@ -44,6 +44,25 @@ def test_dataset_and_loader(image_dir):
     assert len(b2) == 2
 
 
+def test_dataset_ram_cache(image_dir):
+    """cache_size keeps decoded images in RAM (no re-decode), caps entries
+    FIFO, and random crops still differ between accesses."""
+    ds = LICDataset(image_dir, out_size=64, crop_type="random", seed=0,
+                    cache_size=3)
+    for i in range(5):
+        ds[i]
+    assert len(ds._cache) == 3
+    calls = []
+    orig = ds._load_uncached
+    ds._load_uncached = lambda p: (calls.append(p), orig(p))[1]
+    a = ds[4]["jpg"]  # cached (last 3 of 5 inserted)
+    b = ds[4]["jpg"]
+    assert calls == []
+    assert a.shape == b.shape == (64, 64, 3)
+    ds[0]  # evicted earlier -> re-decoded
+    assert len(calls) == 1
+
+
 def test_crops_and_pad():
     img = Image.fromarray(
         np.random.default_rng(1).integers(0, 255, (100, 140, 3), dtype=np.uint8)

@@ -139,6 +139,10 @@ def main():
     if resume and str(resume).endswith(".npz"):
         params = load_params_npz(resume)
     state = trainer.init_state(params, rng)
+    # drop the pre-partition tree: init_state re-casts the frozen subtree
+    # (e.g. bf16 storage), and holding the fp32 originals alive would pin
+    # ~3.8 GB of dead weight copies in HBM at full width
+    del params
     start_step = 0
     if resume and not str(resume).endswith(".npz") and list_checkpoints(resume):
         state, start_step = restore_train_checkpoint(resume, state)
