@@ -211,9 +211,12 @@ def save_params_npz(path: str, params: Any):
     np.savez(path, **flat)
 
 
-def load_params_npz(path: str) -> Any:
+def load_params_npz(path: str, device: bool = True) -> Any:
+    """device=False returns host (numpy) leaves — warm-start flows keep
+    the tree on host so only the final merged state is uploaded."""
     from flax.traverse_util import unflatten_dict  # noqa: PLC0415
 
     data = np.load(path)
-    flat = {tuple(k.split("/")): jax.numpy.asarray(data[k]) for k in data.files}
+    conv = jax.numpy.asarray if device else (lambda x: x)
+    flat = {tuple(k.split("/")): conv(data[k]) for k in data.files}
     return unflatten_dict(flat)

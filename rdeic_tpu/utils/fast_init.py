@@ -22,8 +22,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def fast_random_params(model, image_hw, scale: float = 1.0, seed: int = 0):
-    """Params with the right tree/shapes but cheap per-leaf random values."""
+def fast_random_params(model, image_hw, scale: float = 1.0, seed: int = 0,
+                       device: bool = True):
+    """Params with the right tree/shapes but cheap per-leaf random values.
+
+    device=False keeps leaves host-side (numpy): warm-start flows overlay
+    checkpoint weights on top and let the first jitted step upload once —
+    uploading both the random tree and the loaded tree peaks ~8 GB of
+    dead fp32 copies in HBM at full width.
+    """
     template = jax.eval_shape(
         lambda r: model.init_params(r, image_hw=image_hw), jax.random.PRNGKey(0)
     )
@@ -47,5 +54,5 @@ def fast_random_params(model, image_hw, scale: float = 1.0, seed: int = 0):
             arr = (rng.standard_normal(leaf.shape) * std).astype(leaf.dtype)
         else:
             arr = (rng.standard_normal(leaf.shape) * 0.02).astype(leaf.dtype)
-        out.append(jax.device_put(jnp.asarray(arr)))
+        out.append(jax.device_put(jnp.asarray(arr)) if device else arr)
     return jax.tree_util.tree_unflatten(treedef, out)

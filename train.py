@@ -117,7 +117,8 @@ def main():
         # random — the reference's analog loads sync_path SD weights instead
         from rdeic_tpu.utils.fast_init import fast_random_params
 
-        params = fast_random_params(model, tuple(image_hw), seed=seed)
+        params = fast_random_params(model, tuple(image_hw), seed=seed,
+                                    device=False)
     else:
         params = model.init_params(init_rng, image_hw=tuple(image_hw))
     resume = cfg.get("model", {}).get("resume")
@@ -137,7 +138,20 @@ def main():
         print(f"[synced base weights from {sync_path}; "
               f"{len(missing)} keys stay random]")
     if resume and str(resume).endswith(".npz"):
-        params = load_params_npz(resume)
+        # warm start (phase switch): overlay the saved weights onto the
+        # fresh tree, keeping subtrees the source run did not have (e.g.
+        # phase 1 has no "lpips" net; the refine model needs one) — the
+        # reference's load_state_dict(strict=False) analog
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        flat = dict(flatten_dict(params))
+        loaded = flatten_dict(load_params_npz(resume, device=False))
+        kept = [k for k in flat if k not in loaded]
+        flat.update({k: v for k, v in loaded.items() if k in flat})
+        params = unflatten_dict(flat)
+        if kept:
+            tops = sorted({k[0] for k in kept})
+            print(f"[warm start from {resume}; fresh subtrees kept: {tops}]")
     state = trainer.init_state(params, rng)
     # drop the pre-partition tree: init_state re-casts the frozen subtree
     # (e.g. bf16 storage), and holding the fp32 originals alive would pin
