@@ -81,7 +81,8 @@ def main():
             jax.block_until_ready((cl, gh))
             t2 = time.time()
             out = fn(params, cl, gh, jax.random.PRNGKey(1))
-            jax.block_until_ready(out)
+            float(out.ravel()[0])  # host fetch: forces execution through
+            # the axon tunnel (block_until_ready alone may not)
             t3 = time.time()
             tot = (t3 - t0) * 1000 / B
             log(
