@@ -18,7 +18,7 @@ from PIL import Image
 
 from rdeic_tpu.data.dataset import list_image_files
 from rdeic_tpu.registry import instantiate_from_config, load_yaml
-from rdeic_tpu.utils.checkpoint_io import load_params_npz
+from rdeic_tpu.utils.checkpoint_io import load_inference_params
 from rdeic_tpu.utils.image import pad, to_float01, to_uint8
 from rdeic_tpu.utils.metrics import MetricSuite
 
@@ -59,7 +59,7 @@ def main():
     args = ap.parse_args()
 
     model = instantiate_from_config(load_yaml(args.config))
-    params = load_params_npz(args.ckpt)
+    params = load_inference_params(args.ckpt)
     suite = MetricSuite()
     fns = {n: suite.create_metric(n) for n in ("psnr", "ssim", "ms_ssim", "lpips")}
 

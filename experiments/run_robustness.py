@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 from experiments.corruptors import Corruptor  # noqa: E402
 from rdeic_tpu.data.dataset import list_image_files  # noqa: E402
 from rdeic_tpu.registry import instantiate_from_config, load_yaml  # noqa: E402
-from rdeic_tpu.utils.checkpoint_io import load_params_npz  # noqa: E402
+from rdeic_tpu.utils.checkpoint_io import load_inference_params  # noqa: E402
 from rdeic_tpu.utils.image import pad, to_float01, to_uint8  # noqa: E402
 from rdeic_tpu.utils.metrics import MetricSuite  # noqa: E402
 
@@ -55,7 +55,7 @@ def main():
     args = ap.parse_args()
 
     model = instantiate_from_config(load_yaml(args.config))
-    params = load_params_npz(args.ckpt)
+    params = load_inference_params(args.ckpt)
     suite = MetricSuite()
     fns = {n: suite.create_metric(n) for n in ("psnr", "ms_ssim", "lpips")}
 

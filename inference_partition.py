@@ -26,7 +26,7 @@ from PIL import Image
 
 from rdeic_tpu.data.dataset import list_image_files
 from rdeic_tpu.registry import instantiate_from_config, load_yaml
-from rdeic_tpu.utils.checkpoint_io import load_params_npz
+from rdeic_tpu.utils.checkpoint_io import load_inference_params
 from rdeic_tpu.utils.image import pad, to_float01, to_uint8
 from rdeic_tpu.utils.metrics import MetricSuite
 
@@ -95,7 +95,7 @@ def main():
     model = instantiate_from_config(load_yaml(args.config))
     if args.bf16:
         model.set_compute_dtype(jnp.bfloat16)
-    params = load_params_npz(args.ckpt)
+    params = load_inference_params(args.ckpt)
     metrics = MetricSuite()
     psnr_f = metrics.create_metric("psnr")
     msssim_f = metrics.create_metric("ms_ssim")

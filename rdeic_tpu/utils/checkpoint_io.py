@@ -211,6 +211,20 @@ def save_params_npz(path: str, params: Any):
     np.savez(path, **flat)
 
 
+def warm_start_overlay(params: Any, npz_path: str) -> tuple[Any, list]:
+    """Overlay saved weights onto a fresh params tree, keeping subtrees
+    the source run did not have (e.g. phase 1 has no "lpips" net; the
+    refine model needs one) — load_state_dict(strict=False) semantics for
+    phase switches. Host-side; returns (merged tree, kept fresh keys)."""
+    from flax.traverse_util import flatten_dict, unflatten_dict  # noqa: PLC0415
+
+    flat = dict(flatten_dict(params))
+    loaded = flatten_dict(load_params_npz(npz_path, device=False))
+    kept = [k for k in flat if k not in loaded]
+    flat.update({k: v for k, v in loaded.items() if k in flat})
+    return unflatten_dict(flat), kept
+
+
 def load_params_npz(path: str, device: bool = True) -> Any:
     """device=False returns host (numpy) leaves — warm-start flows keep
     the tree on host so only the final merged state is uploaded."""

@@ -137,6 +137,33 @@ def test_split_checkpoint_roundtrip(trained_state, tmp_path):
                for x, y in zip(a, b))
 
 
+def test_warm_start_overlay(tmp_path):
+    """Phase-switch warm start: loaded weights overwrite matching keys,
+    fresh-only subtrees survive, loader stays host-side."""
+    import numpy as np
+
+    from rdeic_tpu.utils.checkpoint_io import (
+        save_params_npz,
+        warm_start_overlay,
+    )
+
+    saved = {"a": {"w": np.ones((2, 2), np.float32)},
+             "b": {"k": np.full((3,), 7.0, np.float32)}}
+    p = str(tmp_path / "phase1.npz")
+    save_params_npz(p, saved)
+
+    fresh = {"a": {"w": np.zeros((2, 2), np.float32)},
+             "b": {"k": np.zeros((3,), np.float32)},
+             "lpips": {"lin": np.full((4,), 0.5, np.float32)}}
+    merged, kept = warm_start_overlay(fresh, p)
+    assert np.array_equal(merged["a"]["w"], saved["a"]["w"])
+    assert np.array_equal(merged["b"]["k"], saved["b"]["k"])
+    assert np.array_equal(merged["lpips"]["lin"], fresh["lpips"]["lin"])
+    assert kept == [("lpips", "lin")]
+    assert all(isinstance(x, np.ndarray)
+               for x in jax.tree_util.tree_leaves(merged))
+
+
 def test_load_inference_params_npz(trained_state, tmp_path):
     from rdeic_tpu.utils.checkpoint_io import (
         load_inference_params,

@@ -22,7 +22,7 @@ from rdeic_tpu.pipeline.tiled import (
     tiled_decompress_decode,
 )
 from rdeic_tpu.registry import instantiate_from_config, load_yaml
-from rdeic_tpu.utils.checkpoint_io import load_params_npz
+from rdeic_tpu.utils.checkpoint_io import load_inference_params
 from rdeic_tpu.utils.image import to_float01, to_uint8
 from rdeic_tpu.utils.metrics import MetricSuite
 
@@ -52,7 +52,7 @@ def main():
     args = ap.parse_args()
 
     model = instantiate_from_config(load_yaml(args.config))
-    params = load_params_npz(args.ckpt)
+    params = load_inference_params(args.ckpt)
     mesh = make_mesh() if args.use_mesh else None
     suite = MetricSuite()
     psnr_f = suite.create_metric("psnr")

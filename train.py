@@ -29,7 +29,6 @@ from rdeic_tpu.registry import instantiate_from_config, load_yaml
 from rdeic_tpu.train.trainer import Trainer
 from rdeic_tpu.utils.checkpoint_io import (
     list_checkpoints,
-    load_params_npz,
     restore_train_checkpoint,
     save_train_checkpoint,
 )
@@ -138,17 +137,9 @@ def main():
         print(f"[synced base weights from {sync_path}; "
               f"{len(missing)} keys stay random]")
     if resume and str(resume).endswith(".npz"):
-        # warm start (phase switch): overlay the saved weights onto the
-        # fresh tree, keeping subtrees the source run did not have (e.g.
-        # phase 1 has no "lpips" net; the refine model needs one) — the
-        # reference's load_state_dict(strict=False) analog
-        from flax.traverse_util import flatten_dict, unflatten_dict
+        from rdeic_tpu.utils.checkpoint_io import warm_start_overlay
 
-        flat = dict(flatten_dict(params))
-        loaded = flatten_dict(load_params_npz(resume, device=False))
-        kept = [k for k in flat if k not in loaded]
-        flat.update({k: v for k, v in loaded.items() if k in flat})
-        params = unflatten_dict(flat)
+        params, kept = warm_start_overlay(params, resume)
         if kept:
             tops = sorted({k[0] for k in kept})
             print(f"[warm start from {resume}; fresh subtrees kept: {tops}]")
