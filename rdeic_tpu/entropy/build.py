@@ -68,6 +68,15 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_int, i32p,
     ]
     u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.rans_build_buckets.restype = None
+    lib.rans_build_buckets.argtypes = [
+        i32p, i32p, ctypes.c_int, ctypes.c_int, u16p,
+    ]
+    lib.rans_decode_stream_bucketed.restype = ctypes.c_int
+    lib.rans_decode_stream_bucketed.argtypes = [
+        ctypes.c_void_p, i32p, ctypes.c_int, i32p, i32p, i32p,
+        ctypes.c_int, ctypes.c_int, u16p, i32p,
+    ]
     lib.rans_build_lut.restype = None
     lib.rans_build_lut.argtypes = [i32p, i32p, ctypes.c_int, ctypes.c_int, u16p]
     lib.rans_decode_stream_lut.restype = ctypes.c_int

@@ -33,6 +33,7 @@ class CdfTable:
         assert self.cdf.ndim == 2
         assert self.cdf.shape[0] == self.length.shape[0] == self.offset.shape[0]
         self._lut = None  # cum -> symbol table, built on first decode
+        self._buckets = None  # coarse bucket index (32 KB, L1-resident)
 
     @property
     def ncdfs(self) -> int:
@@ -41,6 +42,21 @@ class CdfTable:
     @property
     def max_len(self) -> int:
         return self.cdf.shape[1]
+
+    def buckets(self) -> np.ndarray:
+        """Coarse cum-bucket index (256 buckets/cdf, uint16): narrows the
+        per-symbol search to one bucket's symbols. Small enough to stay in
+        L1/L2 — the decode default (see decode_stream)."""
+        if self._buckets is None:
+            lib = load_library()
+            b = np.empty(self.ncdfs * 256, dtype=np.uint16)
+            lib.rans_build_buckets(
+                _ptr_i32(self.cdf), _ptr_i32(self.length),
+                self.ncdfs, self.max_len,
+                b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            )
+            self._buckets = b
+        return self._buckets
 
     def lut(self) -> np.ndarray:
         """cum -> symbol lookup table (O(1) decode instead of binary
@@ -122,11 +138,30 @@ class RansDecoder:
         )
 
     def decode_stream(self, indexes, table: CdfTable) -> np.ndarray:
+        # Default path: coarse-bucket search (256 buckets/cdf, 32 KB —
+        # L1-resident) replaces the full binary search per symbol.
         # NOTE: the flat cum->symbol LUT variant (rans_decode_stream_lut)
-        # measured SLOWER here (141 vs 63 ms / 1.57M syms): the 8 MB table
-        # misses cache on every random cum, while the binary search touches
-        # a hot <2 KB cdf row. Kept for table-resident targets; default is
-        # the binary-search path.
+        # measured SLOWER (141 vs 63 ms / 1.57M syms): its 8 MB table
+        # misses cache on every random cum. Kept for table-resident
+        # targets.
+        if self._handle is None:
+            raise RuntimeError("set_stream must be called first")
+        i = _as_i32(indexes).reshape(-1)
+        out = np.empty(i.shape[0], dtype=np.int32)
+        buckets = table.buckets()
+        rc = self._lib.rans_decode_stream_bucketed(
+            self._handle, _ptr_i32(i), i.shape[0],
+            _ptr_i32(table.cdf), _ptr_i32(table.length), _ptr_i32(table.offset),
+            table.ncdfs, table.max_len,
+            buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            _ptr_i32(out),
+        )
+        if rc != 0:
+            raise ValueError(f"rans_decode_stream failed rc={rc}")
+        return out
+
+    def decode_stream_bsearch(self, indexes, table: CdfTable) -> np.ndarray:
+        """Plain binary-search decode (bit-identical reference path)."""
         if self._handle is None:
             raise RuntimeError("set_stream must be called first")
         i = _as_i32(indexes).reshape(-1)

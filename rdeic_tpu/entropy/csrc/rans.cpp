@@ -219,6 +219,73 @@ int rans_decode_stream(void* dec, const int32_t* indexes, int n,
   return 0;
 }
 
+// Coarse bucket index: buckets[idx][b] = the symbol s whose cdf range
+// contains cum = b << kBucketShift. Narrows the per-symbol search to the
+// few symbols inside one 2^shift-wide cum bucket. At 64 cdfs x 256
+// buckets x 2 B = 32 KB the whole table is L1/L2-resident — unlike the
+// full 8 MB cum->symbol LUT (rans_build_lut below), which measured 2.2x
+// SLOWER than binary search because every random cum missed cache.
+constexpr int kBucketShift = 8;
+constexpr int kNumBuckets = 1 << (kProbBits - kBucketShift);  // 256
+
+void rans_build_buckets(const int32_t* cdfs, const int32_t* cdf_lengths,
+                        int ncdfs, int max_len, uint16_t* buckets) {
+  for (int idx = 0; idx < ncdfs; ++idx) {
+    const int32_t* cdf = cdfs + static_cast<size_t>(idx) * max_len;
+    const int len = cdf_lengths[idx];
+    uint16_t* row = buckets + static_cast<size_t>(idx) * kNumBuckets;
+    int s = 0;
+    for (int b = 0; b < kNumBuckets; ++b) {
+      const uint32_t cum = static_cast<uint32_t>(b) << kBucketShift;
+      while (s + 1 < len - 1 && static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
+      row[b] = static_cast<uint16_t>(s);
+    }
+  }
+}
+
+// Decode with the bucket index: identical output to rans_decode_stream.
+int rans_decode_stream_bucketed(void* dec, const int32_t* indexes, int n,
+                                const int32_t* cdfs,
+                                const int32_t* cdf_lengths,
+                                const int32_t* offsets, int ncdfs,
+                                int max_len, const uint16_t* buckets,
+                                int32_t* out) {
+  Decoder* d = static_cast<Decoder*>(dec);
+  for (int i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= ncdfs) return -2;
+    const int32_t* cdf = cdfs + static_cast<size_t>(idx) * max_len;
+    const int len = cdf_lengths[idx];
+    const int64_t max_value = len - 2;
+    const uint16_t* row = buckets + static_cast<size_t>(idx) * kNumBuckets;
+
+    const uint32_t cum = d->dec_get_cum();
+    const int b = static_cast<int>(cum >> kBucketShift);
+    int s = row[b];
+    // walk forward inside the bucket (rarely more than a step or two:
+    // a bucket holds 2^8 of the 2^16 cum mass)
+    while (s + 1 < len - 1 && static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
+    d->dec_advance(cdf[s], cdf[s + 1] - cdf[s]);
+
+    int64_t v;
+    if (s == max_value) {
+      uint32_t z = 0;
+      int shift = 0;
+      for (;;) {
+        const uint32_t c = d->dec_raw(4);
+        z |= (c & 7) << shift;
+        shift += 3;
+        if (!(c & 8) || shift > 30) break;
+      }
+      v = unzigzag_escape(z, max_value);
+    } else {
+      v = s;
+    }
+    out[i] = static_cast<int32_t>(v + offsets[idx]);
+  }
+  return 0;
+}
+
 // Build a cum -> symbol lookup table for O(1) symbol resolution:
 // lut[idx * 2^16 + cum] = s with cdf[s] <= cum < cdf[s+1]. The quantized
 // CDFs span the full 16-bit range; any tail gap maps to the escape slot.

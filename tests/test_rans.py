@@ -123,6 +123,30 @@ def test_bitstream_format_stability(table):
     assert hashlib.md5(stream).hexdigest() == golden, stream.hex()
 
 
+def test_bucketed_decode_matches_binary_search(table):
+    """The default decode path (coarse-bucket search, 2.5x faster host
+    decode) must be bit-identical to the plain binary-search path across
+    in-range, escape, and extreme-bypass symbols."""
+    rng = np.random.default_rng(11)
+    n = 20000
+    indexes = rng.integers(0, 64, size=n).astype(np.int32)
+    scales = get_scale_table()[indexes]
+    symbols = np.round(rng.normal(0, scales * 3)).astype(np.int32)
+    symbols[:200] = rng.integers(-80000, 80000, size=200)
+    stream = rans_encode(symbols, indexes, table)
+
+    dec = RansDecoder()
+    dec.set_stream(stream)
+    fast = dec.decode_stream(indexes, table)  # bucketed default
+    dec.close()
+    dec = RansDecoder()
+    dec.set_stream(stream)
+    ref = dec.decode_stream_bsearch(indexes, table)
+    dec.close()
+    np.testing.assert_array_equal(fast, ref)
+    np.testing.assert_array_equal(fast, symbols)
+
+
 def test_lut_decode_matches_binary_search(table):
     """The O(1) LUT decode path must be bit-identical to the binary-search
     path (same stream, same symbols), including escape/bypass symbols."""
