@@ -90,6 +90,10 @@ def main():
                          "coding, upsample the reconstruction back (0 = off)")
     ap.add_argument("--seed", type=int, default=231)
     ap.add_argument("--profile_memory", action="store_true")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="shard each sampling micro-batch over this many "
+                         "devices (data-parallel serving mesh; micro-batch "
+                         "must divide by it)")
     args = ap.parse_args()
 
     model = instantiate_from_config(load_yaml(args.config))
@@ -141,6 +145,17 @@ def main():
         groups[padded.shape[:2]].append((f, padded))
 
     micro = args.micro_batch_size or args.batch_size
+    mesh = None
+    if args.dp > 1:
+        from rdeic_tpu.parallel.mesh import batch_sharding, make_mesh  # noqa: PLC0415
+
+        assert micro % args.dp == 0, (
+            f"--micro_batch_size {micro} must divide by --dp {args.dp}"
+        )
+        mesh = make_mesh(dp=args.dp, tp=1,
+                         devices=jax.devices()[: args.dp])
+        bshard = batch_sharding(mesh)
+        print(f"serving mesh: dp={args.dp} over {jax.device_count()} devices")
     rng = jax.random.PRNGKey(args.seed)
     rows = []
 
@@ -194,17 +209,22 @@ def main():
             context = model.get_learned_conditioning(params, tokens)
         for j in range(0, c_latent.shape[0], micro):
             rng, sub = jax.random.split(rng)
+            cl_j = c_latent[j : j + micro]
+            gh_j = guide_hint[j : j + micro]
+            ctx_j = None if context is None else context[j : j + micro]
+            if mesh is not None and cl_j.shape[0] % args.dp == 0:
+                # shard the micro-batch over the dp serving mesh (same
+                # layout dryrun_multichip validates); params replicate
+                cl_j = jax.device_put(cl_j, bshard)
+                gh_j = jax.device_put(gh_j, bshard)
+                if ctx_j is not None:
+                    ctx_j = jax.device_put(ctx_j, bshard)
             try:
-                outs.append(
-                    fn(
-                        params,
-                        c_latent[j : j + micro],
-                        guide_hint[j : j + micro],
-                        sub,
-                        context=None if context is None
-                        else context[j : j + micro],
-                    )
-                )
+                if mesh is not None:
+                    with mesh:
+                        outs.append(fn(params, cl_j, gh_j, sub, context=ctx_j))
+                else:
+                    outs.append(fn(params, cl_j, gh_j, sub, context=ctx_j))
             except Exception as e:
                 if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
                     print(

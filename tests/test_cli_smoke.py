@@ -150,6 +150,31 @@ def test_inference_partition_cli(micro_ckpt):
     assert (out / "metrics.csv").exists()
 
 
+def test_inference_partition_dp_mesh(micro_ckpt):
+    """--dp 2: sampling micro-batches shard over a data-parallel serving
+    mesh (8-device virtual CPU); outputs match the single-device layout's
+    file set."""
+    cfg, ckpt, ws = micro_ckpt
+    rng = np.random.default_rng(5)
+    d = ws / "dp_in"
+    d.mkdir(exist_ok=True)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8), "RGB"
+        ).save(d / f"dp_{i}.png")
+    out = ws / "dp_out"
+    _run_cli(
+        "inference_partition.py",
+        ["--ckpt", str(ckpt), "--config", str(cfg),
+         "--input", str(d), "--output", str(out),
+         "--steps", "2", "--batch_size", "4", "--micro_batch_size", "2",
+         "--dp", "2"],
+    )
+    outs = sorted(p.name for p in out.glob("*.png"))
+    assert outs == [f"dp_{i}.png" for i in range(4)]
+    assert (out / "metrics.csv").exists()
+
+
 def test_tiled_inference_cli(micro_ckpt):
     """tiled_inference.py: image larger than the tile -> overlap-stitched
     output at the input size."""
