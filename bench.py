@@ -27,12 +27,42 @@ def log(*a):
 from rdeic_tpu.utils.fast_init import fast_random_params as _fast_random_params  # noqa: E402
 
 
+def _probe_backend(timeout_s: int = 150) -> bool:
+    """True if the default backend (e.g. the remote-TPU tunnel) comes up.
+
+    Probed in a SUBPROCESS: when the tunnel endpoint is dead,
+    jax.devices() blocks forever in-process and the whole bench hangs
+    with no output. On probe failure the parent falls back to CPU so a
+    result line is always produced.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("RDEIC_BENCH_SKIP_PROBE") == "1":
+        return True
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); import sys; sys.exit(0)"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     # persistent XLA compile cache: repeat bench runs skip the warmup
     # compiles (repo-local default so it survives /tmp cleanup)
     from rdeic_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+    if not _probe_backend():
+        log("backend probe failed (TPU tunnel down?) -> CPU fallback")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     platform = jax.devices()[0].platform
     log(f"devices: {jax.devices()} (platform={platform})")
 
