@@ -73,6 +73,9 @@ def j2k_decode(data: bytes) -> np.ndarray:
 
 def main():
     ap = argparse.ArgumentParser()
+    from rdeic_tpu.utils.backend import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     ap.add_argument("--input", type=str, required=True)
     ap.add_argument("--output", type=str, default="./j2k_robustness_out")
     ap.add_argument("--bpp", type=float, default=0.12)
@@ -82,6 +85,7 @@ def main():
                     default=[0.0, 0.0001, 0.001, 0.005, 0.01, 0.02])
     ap.add_argument("--modes", type=str, nargs="+", default=["random", "burst"])
     args = ap.parse_args()
+    apply_platform(args.platform)
 
     suite = MetricSuite()
     fns = {n: suite.create_metric(n) for n in ("psnr", "ms_ssim", "lpips")}

@@ -38,6 +38,9 @@ def main():
     enable_compile_cache()
 
     ap = argparse.ArgumentParser()
+    from rdeic_tpu.utils.backend import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     ap.add_argument("--ckpt", type=str, required=True,
                     help="params .npz (converter) or an orbax train-state "
                          "checkpoint dir (train.py runs/*/checkpoints[/step_N])")
@@ -52,6 +55,7 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 denoiser compute (TPU-native autocast)")
     args = ap.parse_args()
+    apply_platform(args.platform)
 
     model = instantiate_from_config(load_yaml(args.config))
     if args.bf16:

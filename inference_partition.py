@@ -69,6 +69,9 @@ def main():
     enable_compile_cache()
 
     ap = argparse.ArgumentParser()
+    from rdeic_tpu.utils.backend import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     ap.add_argument("--ckpt", type=str, required=True)
     ap.add_argument("--config", type=str, default="configs/model/rdeic.yaml")
     ap.add_argument("--input", type=str, required=True)
@@ -95,6 +98,7 @@ def main():
                          "devices (data-parallel serving mesh; micro-batch "
                          "must divide by it)")
     args = ap.parse_args()
+    apply_platform(args.platform)
 
     model = instantiate_from_config(load_yaml(args.config))
     if args.bf16:
@@ -219,6 +223,13 @@ def main():
                 gh_j = jax.device_put(gh_j, bshard)
                 if ctx_j is not None:
                     ctx_j = jax.device_put(ctx_j, bshard)
+            elif mesh is not None:
+                print(
+                    f"[dp] tail micro-batch of {cl_j.shape[0]} not divisible "
+                    f"by --dp {args.dp}: running unsharded on one device "
+                    "(extra compile for this shape)",
+                    flush=True,
+                )
             try:
                 if mesh is not None:
                     with mesh:

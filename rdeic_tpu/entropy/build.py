@@ -68,6 +68,8 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_int, i32p,
     ]
     u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.rans_num_buckets.restype = ctypes.c_int
+    lib.rans_num_buckets.argtypes = []
     lib.rans_build_buckets.restype = None
     lib.rans_build_buckets.argtypes = [
         i32p, i32p, ctypes.c_int, ctypes.c_int, u16p,

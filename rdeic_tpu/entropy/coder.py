@@ -44,12 +44,14 @@ class CdfTable:
         return self.cdf.shape[1]
 
     def buckets(self) -> np.ndarray:
-        """Coarse cum-bucket index (256 buckets/cdf, uint16): narrows the
-        per-symbol search to one bucket's symbols. Small enough to stay in
-        L1/L2 — the decode default (see decode_stream)."""
+        """Coarse cum-bucket index (rans_num_buckets() buckets/cdf, uint16):
+        narrows the per-symbol search to one bucket's symbols. Small enough
+        to stay in L1/L2 — the decode default (see decode_stream)."""
         if self._buckets is None:
             lib = load_library()
-            b = np.empty(self.ncdfs * 256, dtype=np.uint16)
+            # sized from the library (kProbBits - kBucketShift), never a
+            # duplicated literal — a C++ constant change cannot overflow this
+            b = np.empty(self.ncdfs * lib.rans_num_buckets(), dtype=np.uint16)
             lib.rans_build_buckets(
                 _ptr_i32(self.cdf), _ptr_i32(self.length),
                 self.ncdfs, self.max_len,

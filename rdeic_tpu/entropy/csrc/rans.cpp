@@ -228,6 +228,11 @@ int rans_decode_stream(void* dec, const int32_t* indexes, int n,
 constexpr int kBucketShift = 8;
 constexpr int kNumBuckets = 1 << (kProbBits - kBucketShift);  // 256
 
+// Exported so the Python wrapper sizes its bucket buffer from the library
+// instead of a duplicated literal (changing kBucketShift would otherwise
+// make rans_build_buckets write past the caller's buffer).
+int rans_num_buckets() { return kNumBuckets; }
+
 void rans_build_buckets(const int32_t* cdfs, const int32_t* cdf_lengths,
                         int ncdfs, int max_len, uint16_t* buckets) {
   for (int idx = 0; idx < ncdfs; ++idx) {

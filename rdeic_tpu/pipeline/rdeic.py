@@ -318,13 +318,20 @@ class RDEIC:
         model_out = self.apply_model(
             params, x_noisy, t, cond["c_crossattn"], cond["guide_hint"]
         )
+        # parity rdeic.py:799-807: "eps" converts the model output to a
+        # pred-x0 and regresses x_start; "x0" regresses x_start directly;
+        # "v" regresses get_v(x_start, noise, t) against the raw output
+        # (note `noise` here includes the relay shift, as in the reference)
         if self.parameterization == "eps":
-            pred_x0 = self.schedule.predict_xstart_from_eps(x_noisy, t, model_out)
+            pred = self.schedule.predict_xstart_from_eps(x_noisy, t, model_out)
+            target = z_start
         elif self.parameterization == "x0":
-            pred_x0 = model_out
+            pred, target = model_out, z_start
+        elif self.parameterization == "v":
+            pred, target = model_out, self.schedule.get_v(z_start, noise, t)
         else:
             raise NotImplementedError(self.parameterization)
-        loss_simple = jnp.mean((pred_x0 - z_start) ** 2, axis=(1, 2, 3))
+        loss_simple = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
         loss = self.l_guide_weight * jnp.mean(loss_simple)
         loss_guide = jnp.mean((c_latent - z_start) ** 2)
         loss = loss + self.l_guide_weight * loss_guide

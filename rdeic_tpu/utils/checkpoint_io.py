@@ -24,19 +24,65 @@ def fetch_tree(tree: Any, retries: int = 4) -> Any:
     """
     import time  # noqa: PLC0415
 
+    # only transient transfer failures are worth retrying; a deterministic
+    # error (bad buffer, INVALID_ARGUMENT) must surface immediately
+    _TRANSIENT = ("RESOURCE_EXHAUSTED", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                  "transfer", "Connection reset")
+
     def get(x):
         if not isinstance(x, jax.Array):
             return x
-        err = None
         for attempt in range(retries):
             try:
                 return np.asarray(x)
             except Exception as e:  # jax.errors.JaxRuntimeError and kin
-                err = e
+                if attempt == retries - 1 or not any(
+                    t in str(e) for t in _TRANSIENT
+                ):
+                    raise
                 time.sleep(1.5 * (attempt + 1))
-        raise err
 
     return jax.tree_util.tree_map(get, tree)
+
+
+def frozen_fingerprint(frozen_static: Any) -> str:
+    """Content fingerprint of the frozen subtree, cheap enough to compute
+    on every save (one device program + one ~100 KB fetch).
+
+    Hashes leaf paths, shapes, dtypes, and 64 exactly-sampled elements per
+    leaf (strided gather, cast f32 — a deterministic byte pattern on every
+    backend, unlike reduction-order-sensitive sums). Guards a checkpoint
+    dir against being reused across runs whose frozen weights differ
+    (different seed / warm start / model overrides), which would silently
+    pair a stale frozen tree with new trainables on restore.
+    """
+    import hashlib  # noqa: PLC0415
+
+    import jax.numpy as jnp  # noqa: PLC0415
+    from flax.traverse_util import flatten_dict  # noqa: PLC0415
+
+    flat = flatten_dict(frozen_static)
+    keys = sorted(flat.keys())
+    leaves = [flat[k] for k in keys]
+
+    def probe(x):
+        v = jnp.ravel(jnp.asarray(x))
+        idx = np.linspace(0, v.shape[0] - 1, min(64, v.shape[0])).astype(
+            np.int32
+        )
+        return v[idx].astype(jnp.float32)
+
+    samples = np.asarray(
+        jax.jit(lambda ls: jnp.concatenate([probe(x) for x in ls]))(leaves)
+    )
+    h = hashlib.sha256()
+    for k, x in zip(keys, leaves):
+        h.update("/".join(k).encode())
+        h.update(str(tuple(np.shape(x))).encode())
+        h.update(str(x.dtype if hasattr(x, "dtype") else np.asarray(x).dtype
+                     ).encode())
+    h.update(samples.tobytes())
+    return h.hexdigest()
 
 
 def save_train_checkpoint(ckpt_dir: str, step: int, state: Any, keep: int = -1):
@@ -55,9 +101,31 @@ def save_train_checkpoint(ckpt_dir: str, step: int, state: Any, keep: int = -1):
     ckptr = ocp.StandardCheckpointer()
     frozen_static = {k: v for k, v in state.frozen_params.items()
                      if k != "vq_embed_prob"}
+    fp = frozen_fingerprint(frozen_static)
+    stamp = base / "frozen_fingerprint.txt"
     if not (base / "frozen").exists():
         ckptr.save(base / "frozen", fetch_tree(frozen_static), force=True)
         ckptr.wait_until_finished()
+        base.mkdir(parents=True, exist_ok=True)
+        stamp.write_text(fp + "\n")
+    elif stamp.exists():
+        saved = stamp.read_text().strip()
+        if saved != fp:
+            raise ValueError(
+                f"{base}/frozen was written by a run with DIFFERENT frozen "
+                f"weights (stamp {saved[:12]}… != current {fp[:12]}…). "
+                "Reusing it would silently pair a stale frozen tree with new "
+                "trainables on restore — save into a fresh --ckpt_dir."
+            )
+    else:
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(
+            f"{base}/frozen has no fingerprint stamp (pre-round-4 layout); "
+            "assuming it matches the current frozen weights and stamping it.",
+            stacklevel=2,
+        )
+        stamp.write_text(fp + "\n")
     small = {
         "step": np.asarray(state.step),
         "train_params": fetch_tree(state.train_params),

@@ -1,0 +1,41 @@
+"""bench.py honesty: a dead TPU tunnel must yield a clearly-stamped CPU
+fallback JSON line, never a number that could be read as a TPU result
+(round-3 verdict weak #2 / next-round item 9)."""
+import json
+import runpy
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+
+
+def test_probe_retries_then_false(monkeypatch):
+    """With the backend forced dead, _probe_backend retries and returns
+    False instead of hanging."""
+    monkeypatch.setenv("RDEIC_BENCH_FORCE_CPU", "1")
+    monkeypatch.delenv("RDEIC_BENCH_SKIP_PROBE", raising=False)
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+
+        assert bench._probe_backend() is False
+    finally:
+        sys.path.remove(str(REPO))
+
+
+def test_forced_fallback_stamps_backend(monkeypatch, capfd):
+    """Full bench run with the probe forced to fail: the JSON line must
+    carry backend == "cpu-fallback" and the cpu smoke metric name."""
+    monkeypatch.setenv("RDEIC_BENCH_FORCE_CPU", "1")
+    monkeypatch.delenv("RDEIC_BENCH_SKIP_PROBE", raising=False)
+    old = sys.argv
+    try:
+        sys.argv = ["bench.py"]
+        runpy.run_path(str(REPO / "bench.py"), run_name="__main__")
+    finally:
+        sys.argv = old
+    out = capfd.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["backend"] == "cpu-fallback"
+    assert rec["metric"].startswith("cpu_smoke")
+    assert rec["value"] > 0

@@ -137,6 +137,35 @@ def test_split_checkpoint_roundtrip(trained_state, tmp_path):
                for x, y in zip(a, b))
 
 
+def test_frozen_fingerprint_guards_ckpt_dir_reuse(trained_state, tmp_path):
+    """Saving into a checkpoint dir whose frozen tree came from DIFFERENT
+    frozen weights must refuse (round-3 advisor medium: silent stale-frozen
+    pairing); re-saving with the SAME frozen weights stays allowed."""
+    from rdeic_tpu.train.trainer import Trainer
+    from rdeic_tpu.utils.checkpoint_io import save_train_checkpoint
+
+    model, trainer, state, img = trained_state
+    ckpt_dir = str(tmp_path / "guard")
+    save_train_checkpoint(ckpt_dir, 1, state)
+    assert (tmp_path / "guard" / "frozen_fingerprint.txt").exists()
+    # same frozen weights, later step: fine
+    save_train_checkpoint(ckpt_dir, 2, state)
+
+    # a different init seed -> different frozen weights -> refuse
+    params2 = model.init_params(jax.random.PRNGKey(42), image_hw=(32, 32))
+    other = Trainer(model, frozen_dtype=jnp.bfloat16).init_state(
+        params2, jax.random.PRNGKey(1)
+    )
+    with pytest.raises(ValueError, match="DIFFERENT frozen weights"):
+        save_train_checkpoint(ckpt_dir, 3, other)
+
+    # legacy dir (no stamp): warn once, stamp, and proceed
+    (tmp_path / "guard" / "frozen_fingerprint.txt").unlink()
+    with pytest.warns(UserWarning, match="no fingerprint stamp"):
+        save_train_checkpoint(ckpt_dir, 4, state)
+    assert (tmp_path / "guard" / "frozen_fingerprint.txt").exists()
+
+
 def test_warm_start_overlay(tmp_path):
     """Phase-switch warm start: loaded weights overwrite matching keys,
     fresh-only subtrees survive, loader stays host-side."""

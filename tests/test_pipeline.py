@@ -35,6 +35,24 @@ def test_independent_loss_finite(model_and_params):
         assert k in logs and np.isfinite(float(logs[k]))
 
 
+def test_v_parameterization_loss(model_and_params):
+    """parameterization="v" (reference ddpm.py get_v / p_losses): the loss
+    branch runs, is finite, and regresses a DIFFERENT target than "eps"."""
+    model, params = model_and_params
+    img = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 3)) * 2 - 1
+    old = model.parameterization
+    try:
+        model.parameterization = "v"
+        loss_v, logs_v = model.loss_fn(params, img, jax.random.PRNGKey(4))
+        model.parameterization = "eps"
+        loss_e, logs_e = model.loss_fn(params, img, jax.random.PRNGKey(4))
+    finally:
+        model.parameterization = old
+    assert np.isfinite(float(loss_v)) and np.isfinite(float(loss_e))
+    # same rng, different objective -> l_simple must differ
+    assert not np.isclose(float(logs_v["l_simple"]), float(logs_e["l_simple"]))
+
+
 def test_decode_pipeline_jitted(model_and_params):
     model, params = model_and_params
     c_latent = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16, 4))

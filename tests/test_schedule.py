@@ -77,3 +77,24 @@ def test_q_sample_roundtrip():
     np.testing.assert_allclose(np.asarray(eps_back), 0.5, atol=1e-4)
     x0_back = s.predict_xstart_from_eps(xt, t, noise)
     np.testing.assert_allclose(np.asarray(x0_back), 1.0, atol=1e-4)
+
+
+def test_get_v_matches_reference_formula():
+    """get_v (reference ldm ddpm.py:371-375):
+    v = sqrt(acp[t]) * noise - sqrt(1-acp[t]) * x, and the algebraic
+    inverse sqrt(acp)*x_t - sqrt(1-acp)*v recovers x0 exactly."""
+    s = NoiseSchedule.create(timesteps=1000, linear_start=0.00085, linear_end=0.0120)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 3)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((2, 4, 4, 3)).astype(np.float32))
+    t = jnp.array([299, 7])
+    v = np.asarray(s.get_v(x0, noise, t))
+    sa = s.table("sqrt_alphas_cumprod")[np.asarray(t)][:, None, None, None]
+    s1 = s.table("sqrt_one_minus_alphas_cumprod")[np.asarray(t)][:, None, None, None]
+    np.testing.assert_allclose(
+        v, sa * np.asarray(noise) - s1 * np.asarray(x0), rtol=1e-5, atol=1e-6
+    )
+    xt = np.asarray(s.q_sample(x0, t, noise))
+    np.testing.assert_allclose(
+        sa * xt - s1 * v, np.asarray(x0), rtol=1e-4, atol=1e-5
+    )

@@ -33,6 +33,9 @@ def main():
     enable_compile_cache()
 
     ap = argparse.ArgumentParser()
+    from rdeic_tpu.utils.backend import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     ap.add_argument("--ckpt", type=str, required=True)
     ap.add_argument("--config", type=str, default="configs/model/rdeic.yaml")
     ap.add_argument("--input", type=str, required=True)
@@ -50,6 +53,7 @@ def main():
                          "no bpp overhead at tile boundaries)")
     ap.add_argument("--seed", type=int, default=231)
     args = ap.parse_args()
+    apply_platform(args.platform)
 
     model = instantiate_from_config(load_yaml(args.config))
     params = load_inference_params(args.ckpt)

@@ -69,9 +69,13 @@ def main():
     enable_compile_cache()
 
     ap = argparse.ArgumentParser()
+    from rdeic_tpu.utils.backend import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     ap.add_argument("--config", type=str, required=True)
     ap.add_argument("--max_steps", type=int, default=None)
     args = ap.parse_args()
+    apply_platform(args.platform)
 
     cfg = load_yaml(args.config)
     tcfg = cfg.get("trainer", {})
@@ -150,8 +154,19 @@ def main():
     del params
     start_step = 0
     if resume and not str(resume).endswith(".npz") and list_checkpoints(resume):
+        # capture each leaf's mesh sharding BEFORE restore so the restored
+        # numpy leaves are device_put straight to their tp/dp shards — a
+        # blanket jnp.asarray would peak the whole 1B-param state + optimizer
+        # in one chip's HBM before the first sharded step
+        _unset = object()
+        shardings = jax.tree_util.tree_map(
+            lambda x: x.sharding if isinstance(x, jax.Array) else _unset, state
+        )
         state, start_step = restore_train_checkpoint(resume, state)
-        state = jax.tree_util.tree_map(jnp.asarray, state)
+        state = jax.tree_util.tree_map(
+            lambda x, s: jnp.asarray(x) if s is _unset else jax.device_put(x, s),
+            state, shardings,
+        )
         print(f"[resumed full train state from step {start_step}]")
 
     logger = MetricLogger(out_dir)
