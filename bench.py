@@ -166,9 +166,13 @@ def main():
     # batch); per-image bitstreams stay independent
     import os as _os2
 
-    # B=24 is the measured sweet spot on one v5e (B=32 OOMs the decode
-    # scan by 25 MB; B=16 leaves dispatch amortization on the table)
+    # B=24 is the measured sweet spot on one v5e for a single scan program
+    # (B=32 OOMs the decode scan by 25 MB). RDEIC_BENCH_MICRO>0 chunks the
+    # relay scan (decode_batched) so the CODEC batch can exceed the scan
+    # ceiling — entropy-program dispatch amortizes over the full batch while
+    # scan memory stays at the micro size.
     B = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_BATCH", "24"))
+    MICRO = int(_os2.environ.get("RDEIC_BENCH_MICRO", "0")) or None
     imgs = jnp.tile(img01, (B, 1, 1, 1))
     paths = [str(tmp / f"b{i}.rdeic") for i in range(B)]
     fn_b = model.jitted_decode(steps=2)
@@ -176,7 +180,9 @@ def main():
     def batched_run():
         model.apply_condition_compress_batch(params, imgs, paths)
         cl, gh = model.apply_condition_decompress_batch(params, paths)
-        out = fn_b(params, cl, gh, jax.random.PRNGKey(7))
+        out = model.decode_batched(
+            params, cl, gh, jax.random.PRNGKey(7), steps=2, micro=MICRO
+        )
         jax.block_until_ready(out)
 
     batched_run()  # warm batched shapes
@@ -193,7 +199,6 @@ def main():
     CH = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_CHUNK", "24"))
     NCH = 1 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_NCHUNKS", "4"))
     chunk_imgs = jnp.tile(img01, (CH, 1, 1, 1))
-    fn_c = model.jitted_decode(steps=2)
 
     def compress_stage(k):
         cpaths = [str(tmp / f"c{k}_{i}.rdeic") for i in range(CH)]
@@ -216,7 +221,10 @@ def main():
                 dec_fut = dec_pool.submit(
                     decompress_stage, enc_futs[k + 1].result()
                 )
-            out = fn_c(params, cl, gh, jax.random.PRNGKey(40 + k))
+            out = model.decode_batched(
+                params, cl, gh, jax.random.PRNGKey(40 + k), steps=2,
+                micro=MICRO,
+            )
         jax.block_until_ready(out)
         enc_pool.shutdown()
         dec_pool.shutdown()

@@ -494,6 +494,39 @@ class RDEIC:
             )
         return self._jit_cache[key]
 
+    def decode_batched(
+        self, params, c_latent, guide_hint, rng, steps: int,
+        sampler: str = "ddpm", guidance_scale: float = 1.0,
+        micro: int | None = None,
+    ):
+        """Batched decode with a bounded-activation relay scan.
+
+        The entropy programs amortize dispatch over the FULL batch, but the
+        relay scan's activations OOM past B~24 at 768x512 on one v5e (HLO
+        temp copy). Splitting the scan into `micro`-image chunks keeps one
+        compiled shape, queues the chunks back-to-back via async dispatch,
+        and caps scan memory at the micro size — so the codec batch can
+        grow past the scan ceiling. A ragged tail is padded to `micro`
+        (no recompile) and sliced off.
+        """
+        b = c_latent.shape[0]
+        if micro is None or micro >= b:
+            return self.jitted_decode(steps, sampler, guidance_scale)(
+                params, c_latent, guide_hint, rng
+            )
+        fn = self.jitted_decode(steps, sampler, guidance_scale)
+        pad = (-b) % micro
+        if pad:
+            c_latent = jnp.concatenate([c_latent, c_latent[:pad]], axis=0)
+            guide_hint = jnp.concatenate([guide_hint, guide_hint[:pad]], axis=0)
+        outs = []
+        for k in range(0, b + pad, micro):
+            rng, sub = jax.random.split(rng)
+            outs.append(
+                fn(params, c_latent[k:k + micro], guide_hint[k:k + micro], sub)
+            )
+        return jnp.concatenate(outs, axis=0)[:b]
+
     # ------------------------------------------------------------------
     # real bitstream paths
     # ------------------------------------------------------------------

@@ -381,12 +381,17 @@ def convert_state_dict(
     model,
     sync_control: bool = False,
     strict: bool = False,
+    used_keys: Optional[set] = None,
 ) -> tuple[Any, list[str]]:
     """Fill params_template from a torch state dict.
 
     Returns (params, missing_paths). With sync_control=True, control-module
     leaves absent from the checkpoint are initialised from the corresponding
     base-UNet weights with tile/truncate fitting (rdeic.py:962-991).
+    Pass a set as used_keys to collect every torch key the converter
+    consumed — the caller can diff it against the checkpoint to find
+    torch weights the mapping silently ignores (full-surface coverage
+    audits; see tools/fullwidth_converter_proof.py).
     """
     import jax.numpy as jnp  # noqa: PLC0415
 
@@ -424,6 +429,8 @@ def convert_state_dict(
         src_torch = None
         if key in sd:
             src_torch = as_np(sd[key])
+            if used_keys is not None:
+                used_keys.add(key)
         elif sync_control and key.startswith("control_model.control_model."):
             base_key = (
                 "model.diffusion_model."
@@ -431,6 +438,8 @@ def convert_state_dict(
             )
             if base_key in sd:
                 src_torch = as_np(sd[base_key])
+                if used_keys is not None:
+                    used_keys.add(base_key)
         if src_torch is None:
             missing.append("/".join(map(str, path)) + f" <- {key}")
             out[path] = leaf

@@ -81,6 +81,19 @@ def install_reference_stubs():
 
         def __init__(self, *a, **k):
             super().__init__()
+            # real compressai EntropyModel/GaussianConditional buffers —
+            # a released RDEIC checkpoint carries these names, so the
+            # full-surface converter audit must see them (they are
+            # rebuilt at load time by update(force=True), matching
+            # reference inference.py:124)
+            self.register_buffer("_offset", torch.zeros(0, dtype=torch.int32))
+            self.register_buffer(
+                "_quantized_cdf", torch.zeros(0, dtype=torch.int32)
+            )
+            self.register_buffer(
+                "_cdf_length", torch.zeros(0, dtype=torch.int32)
+            )
+            self.register_buffer("scale_table", torch.zeros(0))
 
         def forward(self, inputs, scales, means=None, training=None):
             return inputs, torch.ones_like(inputs)

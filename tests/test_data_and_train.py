@@ -144,3 +144,29 @@ def test_device_prefetch_stays_ahead():
     events.append(("consume", 0))
     # after consuming batch 0, batches 0 AND 1 must already be uploaded
     assert ("put", 1) in events[:2]
+
+
+def test_finetune_ood_recipe_mask():
+    """The OOD fine-tune recipe (configs/finetune_ood.yaml, reference
+    README.md:175-198) must train ONLY compression + control: sd_locked
+    stays true in the model config, so the SD UNet ('denoiser/base') is
+    frozen while preprocess (compression) and the control module adapt."""
+    from rdeic_tpu.registry import load_yaml
+
+    run_cfg = load_yaml("configs/finetune_ood.yaml")
+    model_cfg = load_yaml(run_cfg["model"]["config"])
+    p = model_cfg["params"]
+    assert p["sd_locked"] is True
+    assert p["is_refine"] is False  # light adaptation: single-step loss
+    # the recipe warm-starts from pretrained weights, never SD sync
+    assert run_cfg["model"].get("resume")
+    assert p["sync_path"] is None
+
+    pred = trainable_predicate(sd_locked=p["sd_locked"])
+    assert pred(("compression", "vq_embedding"))
+    assert pred(("denoiser", "control", "w"))
+    assert pred(("denoiser", "enc_zero_convs_out_0", "k"))
+    assert not pred(("denoiser", "base", "out_0"))  # UNet frozen
+    assert not pred(("denoiser", "base", "in_0"))
+    assert not pred(("vae", "w"))
+    assert not pred(("clip", "w"))

@@ -137,3 +137,34 @@ def test_cfg_guidance_path(model_and_params):
         params, c_latent, guide_hint, jax.random.PRNGKey(32)
     )
     assert not np.allclose(np.asarray(img), np.asarray(plain))
+
+
+def test_decode_batched_micro_chunks(model_and_params):
+    """decode_batched must equal running the same jitted decode on each
+    micro chunk (identical rng split order), pad ragged tails without a
+    second compiled shape, and keep outputs in [0, 1]."""
+    model, params = model_and_params
+    b, micro = 5, 2  # ragged: 2 full chunks + padded tail
+    c = jax.random.normal(jax.random.PRNGKey(20), (b, 16, 16, 4))
+    g = jax.random.normal(jax.random.PRNGKey(21), (b, 16, 16, 8))
+    rng = jax.random.PRNGKey(22)
+    out = model.decode_batched(params, c, g, rng, steps=2, micro=micro)
+    assert out.shape == (b, 32, 32, 3)
+    o = np.asarray(out)
+    assert np.all(np.isfinite(o)) and np.all(o >= 0) and np.all(o <= 1)
+
+    # reference: same chunking by hand (pad with the first rows)
+    fn = model.jitted_decode(steps=2)
+    cp = jnp.concatenate([c, c[:1]], axis=0)
+    gp = jnp.concatenate([g, g[:1]], axis=0)
+    outs, r = [], rng
+    for k in range(0, 6, micro):
+        r, sub = jax.random.split(r)
+        outs.append(fn(params, cp[k:k + micro], gp[k:k + micro], sub))
+    ref = np.concatenate(outs, axis=0)[:b]
+    np.testing.assert_allclose(o, ref, atol=1e-6)
+
+    # micro >= b must be the plain single-program path
+    full = model.decode_batched(params, c, g, rng, steps=2, micro=8)
+    direct = fn(params, c, g, rng)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(direct), atol=1e-6)

@@ -1,0 +1,225 @@
+"""Full-flagship-size converter coverage proof (round-4 verdict item 3).
+
+Builds a SYNTHETIC torch checkpoint with the exact key names/shapes a real
+released RDEIC checkpoint would have — by instantiating the reference
+model (SD2.1 UNet + VAE + NoiseEstimator control + Compression +
+GaussianConditional buffers) at FULL width from the reference's own
+configs/model/rdeic.yaml — then runs our converter against the full-width
+params template and audits BOTH directions:
+
+  1. every leaf of our template converts (missing == []), and
+  2. every torch key is either consumed or on the documented allowlist
+     (values our framework recomputes at runtime: DDPM schedule tables,
+     rANS CDF tables built by update(force=True) — reference
+     inference.py:124 rebuilds them the same way).
+
+Finally the converted params decode a real bitstream end to end
+(compress -> decompress -> 2-step relay -> VAE decode), proving the
+"checkpoint file appears -> RD eval" path at full size.
+
+Reference parity anchors: inference_partition.py:371-374 (ckpt merge),
+model/rdeic.py:962-991 (control sync), inference.py:121-124.
+
+Usage:  python tools/fullwidth_converter_proof.py [--out_dir DIR]
+(CPU-only; ~10 min on one core, peak RAM ~16 GB.)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# keys a real checkpoint contains that the converter intentionally does not
+# read; each entry documents why skipping is correct.
+ALLOWLIST = {
+    # DDPM schedule tables (ddpm.py:139-193): pure functions of
+    # (timesteps, linear_start, linear_end) — recomputed bit-for-bit by
+    # rdeic_tpu/diffusion/schedule.py (pinned by tests/test_schedule.py).
+    "betas", "alphas_cumprod", "alphas_cumprod_prev", "sqrt_alphas_cumprod",
+    "sqrt_one_minus_alphas_cumprod", "log_one_minus_alphas_cumprod",
+    "sqrt_recip_alphas_cumprod", "sqrt_recipm1_alphas_cumprod",
+    "posterior_variance", "posterior_log_variance_clipped",
+    "posterior_mean_coef1", "posterior_mean_coef2", "lvlb_weights",
+    "logvar",
+    # rANS CDF tables: rebuilt from get_scale_table() by
+    # preprocess_model.update(force=True) at load time — the reference
+    # does exactly the same before inference (inference.py:124), so the
+    # stored buffers are never trusted on either side.
+    # ones * control_scale buffer (rdeic.py:164-165), consumed as
+    # scale_list * control_scale (rdeic.py:185) == control_scale^2 — a pure
+    # function of the config, recomputed at trace time (unet.py:516)
+    "control_model.scale_list",
+    "preprocess_model.gaussian_conditional._offset",
+    "preprocess_model.gaussian_conditional._quantized_cdf",
+    "preprocess_model.gaussian_conditional._cdf_length",
+    "preprocess_model.gaussian_conditional.scale_table",
+}
+
+
+def build_synthetic_ckpt(out_path: Path, manifest_path: Path) -> None:
+    """Instantiate the reference RDEIC at full width and save a random-
+    weight state dict with the real key names/shapes (fp16 floats to
+    halve the file)."""
+    sys.path.insert(0, str(REPO / "tests"))
+    from ref_stubs import install_reference_stubs
+
+    install_reference_stubs()
+    import torch
+    import yaml
+
+    cfg = yaml.safe_load(
+        (Path("/root/reference/configs/model/rdeic.yaml")).read_text()
+    )
+    p = cfg["params"]
+    # sandbox overrides: no SD ckpt to sync from, no pretrained preprocess,
+    # no open_clip (the CLIP tower ships separately and is converted by its
+    # own path — tests/test_torch_parity_extended.py), no LPIPS weights
+    # (is_refine builds LPIPS from local .pth files that don't exist here;
+    # refine-time LPIPS is converted via --lpips_ckpt, a 6 KB lin-head file)
+    p["sync_path"] = None
+    p["ckpt_path_pre"] = None
+    p["is_refine"] = False
+    p["cond_stage_config"] = {"target": "torch.nn.Identity"}
+    # metric_funcs is a plain dict (never registered as submodules —
+    # rdeic.py:642-647), so it contributes no state-dict keys; skipping it
+    # avoids pyiqa + the Lightning-only self.device attribute
+    p["calculate_metrics"] = {}
+
+    from model.rdeic import RDEIC as RefRDEIC
+
+    t0 = time.time()
+    torch.manual_seed(0)
+    model = RefRDEIC(**p)
+    sd = model.state_dict()
+    n_params = sum(v.numel() for v in sd.values())
+    print(f"reference model instantiated in {time.time()-t0:.0f}s: "
+          f"{len(sd)} state-dict entries, {n_params/1e9:.3f}B elements")
+
+    with manifest_path.open("w") as f:
+        for k, v in sd.items():
+            f.write(f"{k}\t{tuple(v.shape)}\t{v.dtype}\n")
+
+    slim = {
+        k: (v.half() if v.is_floating_point() else v) for k, v in sd.items()
+    }
+    torch.save(slim, out_path)
+    print(f"wrote {out_path} ({out_path.stat().st_size/1e9:.2f} GB)")
+
+
+def convert_and_audit(ckpt_path: Path, out_dir: Path) -> Path:
+    # hard-pin CPU: this deployment's sitecustomize re-pins jax_platforms to
+    # the remote-TPU tunnel at interpreter start (env vars don't stick), and
+    # converting on that backend would stream ~4 GB of leaves through the
+    # tunnel; the audit is pure host work
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    print("jax backend:", jax.default_backend(), flush=True)
+
+    from rdeic_tpu.registry import instantiate_from_config, load_yaml
+    from rdeic_tpu.utils.checkpoint_io import save_params_npz
+    from rdeic_tpu.utils.fast_init import fast_random_params
+    from rdeic_tpu.utils.torch_convert import (
+        convert_state_dict,
+        load_torch_checkpoint,
+    )
+
+    model = instantiate_from_config(load_yaml(str(REPO / "configs/model/rdeic.yaml")))
+    print("building full-width params template (eval_shape fill)...")
+    template = fast_random_params(model, (512, 512), device=False)
+
+    sd = load_torch_checkpoint(str(ckpt_path))
+    used: set = set()
+    t0 = time.time()
+    params, missing = convert_state_dict(sd, template, model, used_keys=used)
+    print(f"converted in {time.time()-t0:.0f}s")
+
+    missing = [m for m in missing if not m.startswith("uncond_context")]
+    unused = sorted(k for k in sd if k not in used and k not in ALLOWLIST)
+
+    report = {
+        "template_leaves": sum(1 for _ in jax.tree_util.tree_leaves(template)),
+        "torch_keys": len(sd),
+        "converted_keys": len(used),
+        "missing_template_leaves": missing,
+        "unconsumed_torch_keys_outside_allowlist": unused,
+        "allowlisted_skips": sorted(k for k in sd if k in ALLOWLIST),
+    }
+    (out_dir / "coverage_report.json").write_text(json.dumps(report, indent=2))
+    print(f"template leaves: {report['template_leaves']}  "
+          f"torch keys: {len(sd)}  consumed: {len(used)}  "
+          f"allowlisted: {len(report['allowlisted_skips'])}")
+    if missing:
+        print("MISSING template leaves:", missing[:20])
+    if unused:
+        print("UNCONSUMED torch keys:", unused[:20])
+    if missing or unused:
+        raise SystemExit("coverage audit FAILED")
+    print("coverage audit OK: 100% of template converted, every torch key "
+          "consumed or allowlisted")
+
+    # the ~4 GB npz stays OUT of indicators/ (committed); only the audit
+    # report + manifest are evidence artifacts
+    npz = Path("/tmp/converted_fullwidth.npz")
+    save_params_npz(str(npz), params)
+    return npz
+
+
+def decode_proof(npz: Path, out_dir: Path) -> None:
+    """inference.py end to end from the converted params (random weights —
+    proves the plumbing, not RD quality)."""
+    import subprocess
+
+    img_dir = REPO / "datalists" / "samples"
+    imgs = sorted(img_dir.rglob("*.png"))[:1]
+    if not imgs:
+        imgs = sorted(img_dir.rglob("*.jpg"))[:1]
+    assert imgs, f"no sample images under {img_dir}"
+    cmd = [
+        sys.executable, str(REPO / "inference.py"),
+        "--ckpt", str(npz), "--input", str(imgs[0]),
+        "--output", str(out_dir / "decoded"), "--steps", "2",
+        "--platform", "cpu",
+    ]
+    print("running:", " ".join(cmd))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          timeout=3600)
+    (out_dir / "inference_log.txt").write_text(proc.stdout + proc.stderr)
+    print(proc.stdout[-2000:])
+    if proc.returncode != 0:
+        print(proc.stderr[-3000:])
+        raise SystemExit("inference.py failed")
+    outs = list((out_dir / "decoded").rglob("*.png"))
+    assert outs, "no decoded image written"
+    print(f"decoded image(s): {[str(o) for o in outs]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out_dir", type=str,
+                    default=str(REPO / "indicators" / "converter_fullwidth_r4"))
+    ap.add_argument("--ckpt", type=str, default="/tmp/rdeic_synth_fullwidth.ckpt",
+                    help="synthetic ckpt path (built if absent)")
+    ap.add_argument("--skip_decode", action="store_true")
+    args = ap.parse_args()
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    ckpt = Path(args.ckpt)
+
+    if not ckpt.exists():
+        build_synthetic_ckpt(ckpt, out_dir / "ref_state_dict_manifest.txt")
+    npz = convert_and_audit(ckpt, out_dir)
+    if not args.skip_decode:
+        decode_proof(npz, out_dir)
+    print("FULL-WIDTH CONVERTER PROOF: OK")
+
+
+if __name__ == "__main__":
+    main()
