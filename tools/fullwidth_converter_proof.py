@@ -21,13 +21,13 @@ Reference parity anchors: inference_partition.py:371-374 (ckpt merge),
 model/rdeic.py:962-991 (control sync), inference.py:121-124.
 
 Usage:  python tools/fullwidth_converter_proof.py [--out_dir DIR]
-(CPU-only; ~10 min on one core, peak RAM ~16 GB.)
+(Build+audit run on CPU, ~10 min on one core, peak RAM ~16 GB;
+the decode step runs on the box default backend — see decode_proof.)
 """
 from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 from pathlib import Path
@@ -171,25 +171,37 @@ def convert_and_audit(ckpt_path: Path, out_dir: Path) -> Path:
     return npz
 
 
-def decode_proof(npz: Path, out_dir: Path) -> None:
+def decode_proof(npz: Path, out_dir: Path, platform: str | None) -> None:
     """inference.py end to end from the converted params (random weights —
-    proves the plumbing, not RD quality)."""
+    proves the plumbing, not RD quality).
+
+    Runs on the box's default backend (the TPU) unless --decode_platform
+    says otherwise: a full-width XLA:CPU decode on this 1-core host has
+    been observed to hard-deadlock inside the LLVM compile worker pool
+    (all threads futex-parked, zero CPU accumulation), while the TPU path
+    reuses bench.py's warm compile cache at 768x512 and finishes in ~4 min.
+    """
     import subprocess
+
+    from PIL import Image
 
     img_dir = REPO / "datalists" / "samples"
     imgs = sorted(img_dir.rglob("*.png"))[:1]
     if not imgs:
         imgs = sorted(img_dir.rglob("*.jpg"))[:1]
     assert imgs, f"no sample images under {img_dir}"
+    # 768x512 matches bench.py's shape -> warm persistent-cache compiles
+    proof_img = Path("/tmp/proof_768x512.png")
+    Image.open(imgs[0]).convert("RGB").resize((768, 512)).save(proof_img)
     cmd = [
         sys.executable, str(REPO / "inference.py"),
-        "--ckpt", str(npz), "--input", str(imgs[0]),
-        "--output", str(out_dir / "decoded"), "--steps", "2",
-        "--platform", "cpu",
+        "--ckpt", str(npz), "--input", str(proof_img),
+        "--output", str(out_dir / "decoded"), "--steps", "2", "--bf16",
     ]
+    if platform:
+        cmd += ["--platform", platform]
     print("running:", " ".join(cmd))
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
+    proc = subprocess.run(cmd, capture_output=True, text=True,
                           timeout=3600)
     (out_dir / "inference_log.txt").write_text(proc.stdout + proc.stderr)
     print(proc.stdout[-2000:])
@@ -208,6 +220,10 @@ def main():
     ap.add_argument("--ckpt", type=str, default="/tmp/rdeic_synth_fullwidth.ckpt",
                     help="synthetic ckpt path (built if absent)")
     ap.add_argument("--skip_decode", action="store_true")
+    ap.add_argument("--decode_platform", type=str, default=None,
+                    choices=["cpu", "tpu", "axon"],
+                    help="platform for the decode step (default: box "
+                         "default, i.e. the TPU; see decode_proof note)")
     args = ap.parse_args()
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -217,7 +233,7 @@ def main():
         build_synthetic_ckpt(ckpt, out_dir / "ref_state_dict_manifest.txt")
     npz = convert_and_audit(ckpt, out_dir)
     if not args.skip_decode:
-        decode_proof(npz, out_dir)
+        decode_proof(npz, out_dir, args.decode_platform)
     print("FULL-WIDTH CONVERTER PROOF: OK")
 
 
