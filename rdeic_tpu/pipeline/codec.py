@@ -48,6 +48,30 @@ import threading
 
 _CALLBACK_SUPPORT: dict = {}
 
+# symbols cross the device<->host boundary as int16 (the tunnel is the
+# bottleneck of the multi-program codec); these guards turn a would-be
+# silent wrap into a loud failure. Symbols are round(y - mean) residuals,
+# orders of magnitude inside the bound for any real activation.
+_SYM_I16_MAX = 32766
+
+
+def _check_sym_range(maxabs_list) -> None:
+    worst = max((int(m) for m in maxabs_list), default=0)
+    if worst > _SYM_I16_MAX:
+        raise OverflowError(
+            f"entropy symbol magnitude {worst} exceeds the int16 transfer "
+            f"range — refusing to write a corrupt bitstream"
+        )
+
+
+def _sym_i16(sym: np.ndarray) -> jnp.ndarray:
+    if sym.size and int(np.abs(sym).max()) > _SYM_I16_MAX:
+        raise OverflowError(
+            "decoded entropy symbol exceeds the int16 transfer range — "
+            "stream does not match this codec's encode path"
+        )
+    return jnp.asarray(sym.astype(np.int16))
+
 
 def host_callbacks_supported() -> bool:
     """Probe whether the default backend supports jax host callbacks.
@@ -117,7 +141,14 @@ class CompressionCodec:
             return model.apply(params, z_q, method=CompressionModel.hyper_decode)
 
         def pass_a(params, idx, hyper, y_hat_prev):
-            """Anchor entropy params for slice idx (shared encode/decode)."""
+            """Anchor entropy params for slice idx (shared encode/decode).
+
+            indexes leave the program as uint8: the scale table has 64
+            levels, and the multi-program chain pulls every index tensor
+            through the remote-TPU tunnel (~40 MB/s) — int32 made the
+            batched decompress bandwidth-bound. Values are unchanged, so
+            bitstreams stay byte-identical.
+            """
             scales, means, channel_ctx = model.apply(
                 params, idx, hyper, y_hat_prev,
                 method=CompressionModel.params_anchor,
@@ -125,7 +156,7 @@ class CompressionCodec:
             means_sq = ckbd.ckbd_anchor_squeeze(means)
             indexes = g.build_indexes(
                 ckbd.ckbd_anchor_squeeze(scales), self.scale_table
-            )
+            ).astype(jnp.uint8)
             return means_sq, indexes, channel_ctx
 
         def pass_b(params, idx, sym_a, means_a_sq, hyper, channel_ctx):
@@ -141,7 +172,7 @@ class CompressionCodec:
             means_sq = ckbd.ckbd_nonanchor_squeeze(means)
             indexes = g.build_indexes(
                 ckbd.ckbd_nonanchor_squeeze(scales), self.scale_table
-            )
+            ).astype(jnp.uint8)
             return anchor_half, means_sq, indexes
 
         def pass_c(params, sym_na, means_na_sq, anchor_half, y_hat_prev):
@@ -171,7 +202,12 @@ class CompressionCodec:
             y_hat = pass_c(params, sym_na, means_na_sq, anchor_half, y_hat_prev)
             return model.apply(params, y_hat, method=CompressionModel.synthesize)
 
-        # encode-only: integer symbols for a squeezed half
+        # encode-only: integer symbols for a squeezed half. int16 halves
+        # the symbol bytes pulled through the tunnel; the companion maxabs
+        # scalar lets the caller verify nothing was truncated (symbols are
+        # y - mean residuals, far inside int16 for any real activation —
+        # but a silent wrap would corrupt the stream, so encode aborts
+        # loudly instead).
         @partial(jax.jit, static_argnames=("anchor", "lo", "hi"))
         def symbols_from(y, means_sq, anchor: bool, lo: int, hi: int):
             y_slice = y[..., lo:hi]
@@ -180,7 +216,8 @@ class CompressionCodec:
                 if anchor
                 else ckbd.ckbd_nonanchor_squeeze(y_slice)
             )
-            return jnp.round(half - means_sq).astype(jnp.int32)
+            sym = jnp.round(half - means_sq).astype(jnp.int32)
+            return sym.astype(jnp.int16), jnp.max(jnp.abs(sym))
 
         @jax.jit
         def synthesize(params, y_hat):
@@ -378,31 +415,33 @@ class CompressionCodec:
         params = self.params
         b = x.shape[0]
         y, indices, hyper = self._analyze(params, x)
-        sym_list, idx_list = [], []
+        sym_list, idx_list, max_list = [], [], []
         y_hat_prev = None
         n = self.model.slice_num
         means_a, idx_a, channel_ctx = self._pass_a0(
             params, hyper=hyper, y_hat_prev=None
         )
         for i, (lo, hi) in enumerate(self._slice_bounds()):
-            sym_a = self._symbols(y, means_a, anchor=True, lo=lo, hi=hi)
+            sym_a, max_a = self._symbols(y, means_a, anchor=True, lo=lo, hi=hi)
             anchor_half, means_na, idx_na = self._pass_b[i](
                 params, sym_a=sym_a, means_a_sq=means_a, hyper=hyper,
                 channel_ctx=channel_ctx,
             )
-            sym_na = self._symbols(y, means_na, anchor=False, lo=lo, hi=hi)
+            sym_na, max_na = self._symbols(y, means_na, anchor=False, lo=lo, hi=hi)
             sym_list += [sym_a, sym_na]
             idx_list += [idx_a, idx_na]
+            max_list += [max_a, max_na]
             if i < n - 1:
                 y_hat_prev, means_a, idx_a, channel_ctx = self._pass_ca[i + 1](
                     params, sym_na=sym_na, means_na_sq=means_na,
                     anchor_half=anchor_half, y_hat_prev=y_hat_prev,
                     hyper=hyper,
                 )
-        pulled = jax.device_get([indices] + sym_list + idx_list)
+        pulled = jax.device_get([indices] + sym_list + idx_list + max_list)
         indices_np = pulled[0]
         syms = pulled[1 : 1 + len(sym_list)]
-        idxs = pulled[1 + len(sym_list) :]
+        idxs = pulled[1 + len(sym_list) : 1 + len(sym_list) + len(idx_list)]
+        _check_sym_range(pulled[1 + len(sym_list) + len(idx_list) :])
         outs = []
         for img in range(b):
             enc = BufferedRansEncoder()
@@ -458,19 +497,19 @@ class CompressionCodec:
         for i in range(n):
             sym_a = decode_rows(np.asarray(idx_a))
             anchor_half, means_na, idx_na = self._pass_b[i](
-                params, sym_a=jnp.asarray(sym_a), means_a_sq=means_a,
+                params, sym_a=_sym_i16(sym_a), means_a_sq=means_a,
                 hyper=hyper, channel_ctx=channel_ctx,
             )
             sym_na = decode_rows(np.asarray(idx_na))
             if i < n - 1:
                 y_hat_prev, means_a, idx_a, channel_ctx = self._pass_ca[i + 1](
-                    params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
+                    params, sym_na=_sym_i16(sym_na), means_na_sq=means_na,
                     anchor_half=anchor_half, y_hat_prev=y_hat_prev,
                     hyper=hyper,
                 )
             else:
                 out = self._pass_c_synth(
-                    params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
+                    params, sym_na=_sym_i16(sym_na), means_na_sq=means_na,
                     anchor_half=anchor_half, y_hat_prev=y_hat_prev,
                 )
         for d in decs:
@@ -549,6 +588,7 @@ class CompressionCodec:
 
         sym_list = []
         idx_list = []
+        max_list = []
         y_hat_prev = None
         n = self.model.slice_num
         bounds = self._slice_bounds()
@@ -556,14 +596,15 @@ class CompressionCodec:
             params, hyper=hyper, y_hat_prev=None
         )
         for i, (lo, hi) in enumerate(bounds):
-            sym_a = self._symbols(y, means_a, anchor=True, lo=lo, hi=hi)
+            sym_a, max_a = self._symbols(y, means_a, anchor=True, lo=lo, hi=hi)
             anchor_half, means_na, idx_na = self._pass_b[i](
                 params, sym_a=sym_a, means_a_sq=means_a, hyper=hyper,
                 channel_ctx=channel_ctx,
             )
-            sym_na = self._symbols(y, means_na, anchor=False, lo=lo, hi=hi)
+            sym_na, max_na = self._symbols(y, means_na, anchor=False, lo=lo, hi=hi)
             sym_list += [sym_a, sym_na]
             idx_list += [idx_a, idx_na]
+            max_list += [max_a, max_na]
             if i < n - 1:
                 y_hat_prev, means_a, idx_a, channel_ctx = self._pass_ca[i + 1](
                     params, sym_na=sym_na, means_na_sq=means_na,
@@ -573,10 +614,11 @@ class CompressionCodec:
             # last slice: nothing downstream of the final symbols on encode
 
         # one synchronization point: pull everything together
-        pulled = jax.device_get([indices] + sym_list + idx_list)
+        pulled = jax.device_get([indices] + sym_list + idx_list + max_list)
         indices_np = pulled[0]
         syms = pulled[1 : 1 + len(sym_list)]
-        idxs = pulled[1 + len(sym_list) :]
+        idxs = pulled[1 + len(sym_list) : 1 + len(sym_list) + len(idx_list)]
+        _check_sym_range(pulled[1 + len(sym_list) + len(idx_list) :])
 
         z_string = pack_uniform(indices_np, self.model.codebook_size)
         enc = BufferedRansEncoder()
@@ -617,7 +659,7 @@ class CompressionCodec:
             idx_a_np = np.asarray(idx_a)
             sym_a = dec.decode_stream(idx_a_np, self.table).reshape(idx_a_np.shape)
             anchor_half, means_na, idx_na = self._pass_b[i](
-                params, sym_a=jnp.asarray(sym_a), means_a_sq=means_a,
+                params, sym_a=_sym_i16(sym_a), means_a_sq=means_a,
                 hyper=hyper, channel_ctx=channel_ctx,
             )
             idx_na_np = np.asarray(idx_na)
@@ -626,13 +668,13 @@ class CompressionCodec:
             )
             if i < n - 1:
                 y_hat_prev, means_a, idx_a, channel_ctx = self._pass_ca[i + 1](
-                    params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
+                    params, sym_na=_sym_i16(sym_na), means_na_sq=means_na,
                     anchor_half=anchor_half, y_hat_prev=y_hat_prev,
                     hyper=hyper,
                 )
             else:
                 c_latent, guide_hint = self._pass_c_synth(
-                    params, sym_na=jnp.asarray(sym_na), means_na_sq=means_na,
+                    params, sym_na=_sym_i16(sym_na), means_na_sq=means_na,
                     anchor_half=anchor_half, y_hat_prev=y_hat_prev,
                 )
         dec.close()

@@ -124,3 +124,39 @@ def test_batched_multiprogram_matches_fused_batch(codec):
     # multi batched self-consistency with multi single
     c_s, _ = multi.decompress(m[0]["strings"], m[0]["shape"])
     np.testing.assert_array_equal(np.asarray(c_m[0:1]), np.asarray(c_s))
+
+
+def test_int16_transfer_guards():
+    """Symbols cross the device<->host boundary as int16 (tunnel bandwidth);
+    the guards must turn an out-of-range value into a loud error instead of
+    a silent wrap that would corrupt the stream."""
+    from rdeic_tpu.pipeline.codec import _check_sym_range, _sym_i16
+
+    _check_sym_range([0, 120, 32766])  # in range: no raise
+    with pytest.raises(OverflowError):
+        _check_sym_range([12, 40000])
+    out = _sym_i16(np.array([[1, -5, 32766]], np.int32))
+    assert out.dtype == jnp.int16
+    with pytest.raises(OverflowError):
+        _sym_i16(np.array([40000], np.int32))
+
+
+def test_multiprogram_transfer_dtypes(codec):
+    """The multi-program chain's boundary tensors must stay slim: uint8
+    indexes out of the pass programs, int16 symbols in/out."""
+    multi = CompressionCodec(codec.model, codec.params, fused=False)
+    params = multi.params
+    x = jax.random.normal(jax.random.PRNGKey(21), (1, 8, 8, 8))
+    y, indices, hyper = multi._analyze(params, x)
+    means_a, idx_a, channel_ctx = multi._pass_a0(
+        params, hyper=hyper, y_hat_prev=None
+    )
+    assert idx_a.dtype == jnp.uint8
+    sym_a, max_a = multi._symbols(y, means_a, anchor=True, lo=0, hi=4)
+    assert sym_a.dtype == jnp.int16
+    assert int(max_a) >= 0
+    anchor_half, means_na, idx_na = multi._pass_b[0](
+        params, sym_a=sym_a, means_a_sq=means_a, hyper=hyper,
+        channel_ctx=channel_ctx,
+    )
+    assert idx_na.dtype == jnp.uint8
