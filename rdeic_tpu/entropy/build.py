@@ -79,6 +79,12 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_void_p, i32p, ctypes.c_int, i32p, i32p, i32p,
         ctypes.c_int, ctypes.c_int, u16p, i32p,
     ]
+    lib.rans_encode_interleaved.restype = ctypes.c_int
+    lib.rans_encode_interleaved.argtypes = [
+        i32p, i32p, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, i32p, ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_int, i32p,
+    ]
     lib.rans_build_lut.restype = None
     lib.rans_build_lut.argtypes = [i32p, i32p, ctypes.c_int, ctypes.c_int, u16p]
     lib.rans_decode_stream_lut.restype = ctypes.c_int

@@ -123,6 +123,40 @@ def rans_encode(symbols, indexes, table: CdfTable) -> bytes:
     raise RuntimeError("rans_encode: capacity growth failed")
 
 
+def rans_encode_interleaved(symbols, indexes, pass_sizes, lanes: int,
+                            table: CdfTable) -> tuple[bytes, np.ndarray]:
+    """Stripe each pass's symbols over `lanes` independent rANS streams
+    (symbol j of a pass -> lane j % lanes) for lock-step SPMD decoding
+    (entropy/device_rans.py). Returns (back-to-back lane bytes,
+    lane_nbytes int32 [lanes])."""
+    lib = load_library()
+    s = _as_i32(symbols).reshape(-1)
+    i = _as_i32(indexes).reshape(-1)
+    p = _as_i32(pass_sizes).reshape(-1)
+    if s.shape != i.shape:
+        raise ValueError("symbols/indexes length mismatch")
+    if int(p.sum()) != s.shape[0]:
+        raise ValueError("pass_sizes must sum to the symbol count")
+    n = s.shape[0]
+    lane_nbytes = np.empty(lanes, dtype=np.int32)
+    capacity = max(n * 8 + 8 * lanes + 64, 1024)
+    for _ in range(4):
+        out = np.empty(capacity, dtype=np.uint8)
+        nbytes = lib.rans_encode_interleaved(
+            _ptr_i32(s), _ptr_i32(i), n, _ptr_i32(p), p.shape[0], lanes,
+            _ptr_i32(table.cdf), _ptr_i32(table.length), _ptr_i32(table.offset),
+            table.ncdfs, table.max_len,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), capacity,
+            _ptr_i32(lane_nbytes),
+        )
+        if nbytes >= 0:
+            return out[:nbytes].tobytes(), lane_nbytes.copy()
+        if nbytes == -2:
+            raise ValueError("bad args in rans_encode_interleaved")
+        capacity *= 4
+    raise RuntimeError("rans_encode_interleaved: capacity growth failed")
+
+
 class RansDecoder:
     """Persistent-stream decoder: set_stream once, decode_stream repeatedly."""
 

@@ -116,6 +116,36 @@ inline int64_t unzigzag_escape(uint32_t z, int64_t max_value) {
                  : static_cast<int64_t>(z >> 1) + max_value;
 }
 
+// Encode one (symbol, cdf index) pair onto state x / word buffer buf —
+// shared by the single-stream and interleaved encoders so both emit
+// bit-identical per-symbol codes.
+inline int encode_one(uint32_t& x, WordBuf& buf, int32_t symbol, int32_t idx,
+                      const int32_t* cdfs, const int32_t* cdf_lengths,
+                      const int32_t* offsets, int ncdfs, int max_len) {
+  if (idx < 0 || idx >= ncdfs) return -2;
+  const int32_t* cdf = cdfs + static_cast<size_t>(idx) * max_len;
+  const int len = cdf_lengths[idx];
+  const int64_t max_value = len - 2;
+  const int64_t v = static_cast<int64_t>(symbol) - offsets[idx];
+
+  if (v >= 0 && v < max_value) {
+    enc_symbol(x, buf, cdf[v], cdf[v + 1] - cdf[v]);
+  } else {
+    uint32_t z = zigzag_escape(v, max_value);
+    uint32_t chunks[16];
+    int nc = 0;
+    do {
+      uint32_t c = z & 7;
+      z >>= 3;
+      if (z != 0) c |= 8;
+      chunks[nc++] = c;
+    } while (z != 0 && nc < 16);
+    for (int c = nc - 1; c >= 0; --c) enc_raw(x, buf, chunks[c], 4);
+    enc_symbol(x, buf, cdf[max_value], cdf[max_value + 1] - cdf[max_value]);
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -133,31 +163,9 @@ int rans_encode_with_indexes(const int32_t* symbols, const int32_t* indexes,
 
   // rANS encodes in reverse so the decoder reads forward.
   for (int i = n - 1; i >= 0; --i) {
-    const int32_t idx = indexes[i];
-    if (idx < 0 || idx >= ncdfs) return -2;
-    const int32_t* cdf = cdfs + static_cast<size_t>(idx) * max_len;
-    const int len = cdf_lengths[idx];          // entries in cdf
-    const int64_t max_value = len - 2;         // escape slot index
-    const int64_t v = static_cast<int64_t>(symbols[i]) - offsets[idx];
-
-    if (v >= 0 && v < max_value) {
-      enc_symbol(x, buf, cdf[v], cdf[v + 1] - cdf[v]);
-    } else {
-      // bypass: emit 4-bit chunks (reverse order here; decoder reads
-      // low-to-high with continuation bits), then the escape symbol.
-      uint32_t z = zigzag_escape(v, max_value);
-      // gather chunks low-to-high
-      uint32_t chunks[16];
-      int nc = 0;
-      do {
-        uint32_t c = z & 7;
-        z >>= 3;
-        if (z != 0) c |= 8;
-        chunks[nc++] = c;
-      } while (z != 0 && nc < 16);
-      for (int c = nc - 1; c >= 0; --c) enc_raw(x, buf, chunks[c], 4);
-      enc_symbol(x, buf, cdf[max_value], cdf[max_value + 1] - cdf[max_value]);
-    }
+    if (encode_one(x, buf, symbols[i], indexes[i], cdfs, cdf_lengths, offsets,
+                   ncdfs, max_len) != 0)
+      return -2;
   }
   // flush state (two words; decoder reads high then low first)
   buf.put(static_cast<uint16_t>(x & 0xffff));
@@ -347,6 +355,68 @@ int rans_decode_stream_lut(void* dec, const int32_t* indexes, int n,
     out[i] = static_cast<int32_t>(v + offsets[idx]);
   }
   return 0;
+}
+
+// Interleaved-lane encode for device-side (SPMD) decoding: within each
+// pass p (sizes in pass_sizes[npass], summing to n), symbol j goes to lane
+// (j % K); each lane's subsequence is encoded as an INDEPENDENT rANS
+// stream (same per-symbol code as rans_encode_with_indexes, so escapes /
+// renorm behave identically). A vector decoder can then decode all K
+// lanes in lock-step: at step t of pass p it resolves symbols
+// t*K .. t*K+K-1 in parallel.
+//
+// Output layout: lane 0 bytes, lane 1 bytes, ... back to back in `out`;
+// lane_nbytes[k] receives each lane's byte count (always even — the
+// streams are u16 words). Returns total bytes, -1 if capacity is too
+// small, -2 on bad args.
+int rans_encode_interleaved(const int32_t* symbols, const int32_t* indexes,
+                            int n, const int32_t* pass_sizes, int npass,
+                            int K, const int32_t* cdfs,
+                            const int32_t* cdf_lengths, const int32_t* offsets,
+                            int ncdfs, int max_len, uint8_t* out, int capacity,
+                            int32_t* lane_nbytes) {
+  if (K <= 0 || npass < 0) return -2;
+  {
+    int64_t total = 0;
+    for (int p = 0; p < npass; ++p) total += pass_sizes[p];
+    if (total != n) return -2;
+  }
+  // partition: per-lane list of global symbol positions, forward order
+  std::vector<std::vector<int32_t>> lane_pos(K);
+  for (int k = 0; k < K; ++k)
+    lane_pos[k].reserve(static_cast<size_t>(n) / K + npass);
+  {
+    int g = 0;
+    for (int p = 0; p < npass; ++p) {
+      const int np = pass_sizes[p];
+      for (int j = 0; j < np; ++j, ++g) lane_pos[j % K].push_back(g);
+    }
+  }
+
+  uint8_t* p_out = out;
+  int written = 0;
+  for (int k = 0; k < K; ++k) {
+    WordBuf buf;
+    buf.words.reserve(lane_pos[k].size() + 4);
+    uint32_t x = kRansL;
+    for (size_t i = lane_pos[k].size(); i-- > 0;) {
+      const int32_t g = lane_pos[k][i];
+      if (encode_one(x, buf, symbols[g], indexes[g], cdfs, cdf_lengths,
+                     offsets, ncdfs, max_len) != 0)
+        return -2;
+    }
+    buf.put(static_cast<uint16_t>(x & 0xffff));
+    buf.put(static_cast<uint16_t>(x >> 16));
+    const int nbytes = static_cast<int>(buf.words.size() * 2);
+    if (written + nbytes > capacity) return -1;
+    for (size_t i = buf.words.size(); i-- > 0;) {
+      *p_out++ = static_cast<uint8_t>(buf.words[i] & 0xff);
+      *p_out++ = static_cast<uint8_t>(buf.words[i] >> 8);
+    }
+    lane_nbytes[k] = nbytes;
+    written += nbytes;
+  }
+  return written;
 }
 
 // One-shot decode convenience (stream created and freed internally).

@@ -105,10 +105,15 @@ class CompressionCodec:
     per-image device dispatches drop from ~50 to ~5.
     """
 
-    def __init__(self, model: CompressionModel, params, fused: bool = False):
+    def __init__(self, model: CompressionModel, params, fused: bool = False,
+                 lanes: int = 0):
         self.model = model
         self.params = params
         self.fused = fused
+        # lanes > 0 enables interleaved-lane streams decoded ON DEVICE
+        # (entropy/device_rans.py): the whole decompress chain becomes one
+        # jitted program with zero mid-chain host round trips
+        self.lanes = int(lanes)
         scale_table = g.get_scale_table()
         self.scale_table = scale_table
         cdf, lengths, offsets = g.build_cdf_tables(scale_table)
@@ -121,6 +126,8 @@ class CompressionCodec:
         self._build_jitted()
         if fused:
             self._build_fused()
+        if self.lanes:
+            self._build_interleaved()
 
     # ------------------------------------------------------------------
     def _build_jitted(self):
@@ -362,13 +369,168 @@ class CompressionCodec:
         return self._synthesize(params, y_hat)
 
     # ------------------------------------------------------------------
+    # interleaved-lane path (lanes > 0): encode stripes each pass's
+    # symbols over K independent rANS lanes (csrc rans_encode_interleaved);
+    # decode runs entropy/device_rans.decode_pass programs BETWEEN the
+    # standard pass programs, so the whole decompress chain is pure async
+    # device dataflow — zero mid-chain host round trips. Entropy params
+    # stay bit-exact with encode because BOTH directions use the very same
+    # _pass_a0/_pass_b/_pass_ca programs (the codec's determinism rule).
+    # ------------------------------------------------------------------
+    def _build_interleaved(self):
+        from rdeic_tpu.entropy.device_rans import (
+            DeviceRansTables,
+            decode_pass,
+            init_lane_state,
+        )
+
+        self._tabs = DeviceRansTables(self.table)
+        k = self.lanes
+
+        def dev_decode(cdf_flat, lut_flat, lengths, offsets, words, nwords,
+                       state, ptr, idx_u8):
+            class _T:  # lightweight view so the tables ride as jit args
+                pass
+
+            t = _T()
+            t.cdf_flat, t.lut_flat = cdf_flat, lut_flat
+            t.lengths, t.offsets = lengths, offsets
+            t.max_len = self.table.max_len
+            b = idx_u8.shape[0]
+            n = int(np.prod(idx_u8.shape[1:]))
+            idx_flat = idx_u8.astype(jnp.int32).reshape(b, n)
+            pad = (-n) % k
+            if pad:
+                idx_flat = jnp.pad(idx_flat, ((0, 0), (0, pad)))
+            sym, (state, ptr) = decode_pass(
+                t, words, nwords, state, ptr, idx_flat, n
+            )
+            sym = sym[:, :n].reshape(idx_u8.shape).astype(jnp.int16)
+            return sym, state, ptr
+
+        self._dev_decode_jit = jax.jit(dev_decode)
+        self._lane_init = jax.jit(init_lane_state)
+
+    def _dev_decode(self, words, nwords, state, ptr, idx_u8):
+        t = self._tabs
+        return self._dev_decode_jit(
+            t.cdf_flat, t.lut_flat, t.lengths, t.offsets,
+            words, nwords, state, ptr, idx_u8,
+        )
+
+    @staticmethod
+    def _lane_header(lanes: int, lane_nbytes: np.ndarray) -> bytes:
+        return np.concatenate(
+            [[lanes], np.asarray(lane_nbytes, np.uint32)]
+        ).astype("<u4").tobytes()
+
+    @staticmethod
+    def _parse_lane_header(hdr: bytes):
+        arr = np.frombuffer(hdr, "<u4")
+        k = int(arr[0])
+        return k, arr[1 : 1 + k].astype(np.int64)
+
+    def _flush_interleaved(self, syms, idxs, indices_np, img: int) -> dict:
+        """Per-image container from the per-pass (sym, idx) pulls."""
+        from rdeic_tpu.entropy.coder import rans_encode_interleaved
+
+        flat_s = [np.asarray(s[img]).reshape(-1) for s in syms]
+        flat_i = [np.asarray(ix[img]).reshape(-1) for ix in idxs]
+        pass_sizes = [s.shape[0] for s in flat_s]
+        payload, lane_nbytes = rans_encode_interleaved(
+            np.concatenate(flat_s), np.concatenate(flat_i),
+            pass_sizes, self.lanes, self.table,
+        )
+        return {
+            "strings": [
+                [payload],
+                [pack_uniform(indices_np[img], self.model.codebook_size)],
+                [self._lane_header(self.lanes, lane_nbytes)],
+            ],
+            "shape": (indices_np.shape[1], indices_np.shape[2]),
+        }
+
+    def _lane_words_device(self, outs: list[dict]):
+        """Stack per-image lane streams into [B, K, W] device words (W
+        bucket-padded to bound recompiles of the decode_pass programs)."""
+        from rdeic_tpu.entropy.device_rans import lanes_from_bytes
+
+        mats = []
+        for o in outs:
+            klanes, lane_nbytes = self._parse_lane_header(o["strings"][2][0])
+            if klanes != self.lanes:
+                raise ValueError(
+                    f"stream has {klanes} lanes, codec configured for "
+                    f"{self.lanes}"
+                )
+            mats.append(lanes_from_bytes(o["strings"][0][0], lane_nbytes))
+        wmax = max(m[0].shape[1] for m in mats)
+        # pow2 bucket (min 64) so W varies over few compiled shapes
+        wpad = 64
+        while wpad < wmax:
+            wpad *= 2
+        b = len(mats)
+        words = np.zeros((b, self.lanes, wpad), np.uint32)
+        nwords = np.zeros((b, self.lanes), np.int32)
+        for i, (w, nw) in enumerate(mats):
+            words[i, :, : w.shape[1]] = w
+            nwords[i] = nw
+        return jnp.asarray(words), jnp.asarray(nwords)
+
+    def _decompress_interleaved(self, outs: list[dict]):
+        """[B] interleaved streams -> (c_latent, guide_hint); the entire
+        chain is async device dataflow (no host pulls until the caller's)."""
+        params = self.params
+        zh, zw = outs[0]["shape"]
+        indices = np.stack(
+            [
+                unpack_uniform(
+                    o["strings"][1][0], zh * zw, self.model.codebook_size
+                ).reshape(zh, zw)
+                for o in outs
+            ]
+        )
+        hyper = self._hyper(params, jnp.asarray(indices))
+        words, nwords = self._lane_words_device(outs)
+        state, ptr = self._lane_init(words, nwords)
+
+        y_hat_prev = None
+        n = self.model.slice_num
+        means_a, idx_a, channel_ctx = self._pass_a0(
+            params, hyper=hyper, y_hat_prev=None
+        )
+        for i in range(n):
+            sym_a, state, ptr = self._dev_decode(
+                words, nwords, state, ptr, idx_a
+            )
+            anchor_half, means_na, idx_na = self._pass_b[i](
+                params, sym_a=sym_a, means_a_sq=means_a,
+                hyper=hyper, channel_ctx=channel_ctx,
+            )
+            sym_na, state, ptr = self._dev_decode(
+                words, nwords, state, ptr, idx_na
+            )
+            if i < n - 1:
+                y_hat_prev, means_a, idx_a, channel_ctx = self._pass_ca[i + 1](
+                    params, sym_na=sym_na, means_na_sq=means_na,
+                    anchor_half=anchor_half, y_hat_prev=y_hat_prev,
+                    hyper=hyper,
+                )
+            else:
+                out = self._pass_c_synth(
+                    params, sym_na=sym_na, means_na_sq=means_na,
+                    anchor_half=anchor_half, y_hat_prev=y_hat_prev,
+                )
+        return out
+
+    # ------------------------------------------------------------------
     # batched fused paths: B images per entropy-program execution.
     # Dispatch latency amortizes B-fold; each image still gets its own
     # independent bitstream (decodable alone).
     # ------------------------------------------------------------------
     def compress_batch(self, x) -> list[dict]:
         """x: [B, H, W, in_nc] -> list of per-image {strings, shape}."""
-        if not self.fused:
+        if not self.fused or self.lanes:
             return self._compress_batch_multi(x)
         params = self.params
         b = x.shape[0]
@@ -444,6 +606,9 @@ class CompressionCodec:
         _check_sym_range(pulled[1 + len(sym_list) + len(idx_list) :])
         outs = []
         for img in range(b):
+            if self.lanes:
+                outs.append(self._flush_interleaved(syms, idxs, indices_np, img))
+                continue
             enc = BufferedRansEncoder()
             for s, ix in zip(syms, idxs):
                 enc.encode_with_indexes(s[img], ix[img])
@@ -518,6 +683,10 @@ class CompressionCodec:
 
     def decompress_batch(self, outs: list[dict]):
         """list of per-image {strings, shape} -> (c_latent [B..], guide_hint)."""
+        if outs and len(outs[0]["strings"]) > 2:
+            k, _ = self._parse_lane_header(outs[0]["strings"][2][0])
+            self._ensure_lanes(k)
+            return self._decompress_interleaved(outs)
         if not self.fused:
             return self._decompress_batch_multi(outs)
         params = self.params
@@ -576,7 +745,7 @@ class CompressionCodec:
         device chain is dispatched asynchronously; symbols/indexes are pulled
         from the device in one batched device_get at the end.
         """
-        if self.fused:
+        if self.fused and not self.lanes:
             try:
                 return self._compress_fused(x)
             except Exception as e:  # backend without host-callback support
@@ -620,6 +789,8 @@ class CompressionCodec:
         idxs = pulled[1 + len(sym_list) : 1 + len(sym_list) + len(idx_list)]
         _check_sym_range(pulled[1 + len(sym_list) + len(idx_list) :])
 
+        if self.lanes:
+            return self._flush_interleaved(syms, idxs, indices_np, 0)
         z_string = pack_uniform(indices_np, self.model.codebook_size)
         enc = BufferedRansEncoder()
         for s, ix in zip(syms, idxs):
@@ -628,11 +799,25 @@ class CompressionCodec:
         zh, zw = indices_np.shape[1], indices_np.shape[2]
         return {"strings": [[y_string], [z_string]], "shape": (zh, zw)}
 
+    def _ensure_lanes(self, k: int) -> None:
+        """(Re)build the device-rANS programs for a stream's lane count —
+        lets any codec instance decode interleaved streams it didn't
+        encode."""
+        if self.lanes != k or not hasattr(self, "_tabs"):
+            self.lanes = k
+            self._build_interleaved()
+
     def decompress(self, strings, shape):
         """strings/shape -> (c_latent, guide_hint).
 
         Mirrors Compression.decompress (compression.py:215-273).
         """
+        if len(strings) > 2:  # interleaved-lane stream: on-device decode
+            k, _ = self._parse_lane_header(strings[2][0])
+            self._ensure_lanes(k)
+            return self._decompress_interleaved(
+                [{"strings": strings, "shape": shape}]
+            )
         if self.fused:
             try:
                 return self._decompress_fused(strings, shape)

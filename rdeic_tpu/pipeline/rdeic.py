@@ -546,9 +546,13 @@ class RDEIC:
                 os.environ.get("RDEIC_FUSED_CODEC", "1") == "1"
                 and host_callbacks_supported()
             )
+            # RDEIC_RANS_LANES > 0: interleaved-lane streams decoded fully
+            # on device (entropy/device_rans.py) — zero mid-chain host
+            # round trips; costs ~4*lanes bytes/stream of rate
+            lanes = int(os.environ.get("RDEIC_RANS_LANES", "0"))
             self._codec = CompressionCodec(
                 self.compression, {"params": params["compression"]},
-                fused=fused,
+                fused=fused, lanes=lanes,
             )
         return self._codec
 

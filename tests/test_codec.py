@@ -160,3 +160,46 @@ def test_multiprogram_transfer_dtypes(codec):
         channel_ctx=channel_ctx,
     )
     assert idx_na.dtype == jnp.uint8
+
+
+def test_interleaved_roundtrip_and_cross_decode(codec):
+    """lanes>0: encode stripes symbols over K device-decodable rANS lanes.
+    The interleaved decode must reproduce the encoder's y_hat bit-exactly
+    (same pass programs both directions), a plain codec must auto-detect
+    and decode the 3-string container, and batched must match single."""
+    il = CompressionCodec(codec.model, codec.params, lanes=4)
+    x = jax.random.normal(jax.random.PRNGKey(31), (2, 8, 8, 8)) * 2.0
+    outs = il.compress_batch(x)
+    assert len(outs[0]["strings"]) == 3  # payload, z, lane header
+    c_b, g_b = il.decompress_batch(outs)
+    assert c_b.shape == (2, 8, 8, 4) and g_b.shape == (2, 8, 8, 8)
+
+    # single-image encode -> identical stream to the batched per-image one
+    single = il.compress(x[:1])
+    assert single["strings"][0][0] == outs[0]["strings"][0][0]
+    c_s, g_s = il.decompress(single["strings"], single["shape"])
+    np.testing.assert_array_equal(np.asarray(c_b[:1]), np.asarray(c_s))
+
+    # a codec built WITHOUT lanes decodes the stream via auto-detection
+    plain = CompressionCodec(codec.model, codec.params)
+    c_p, g_p = plain.decompress(single["strings"], single["shape"])
+    np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_p))
+
+    # interleaved decode == the multi-program host decode of the SAME
+    # content coded without lanes (same pass programs -> same y_hat)
+    legacy = CompressionCodec(codec.model, codec.params, fused=False)
+    lout = legacy.compress(x[:1])
+    c_l, g_l = legacy.decompress(lout["strings"], lout["shape"])
+    np.testing.assert_array_equal(np.asarray(c_l), np.asarray(c_s))
+
+
+def test_interleaved_corrupt_stream_safe(codec):
+    il = CompressionCodec(codec.model, codec.params, lanes=4)
+    x = jax.random.normal(jax.random.PRNGKey(33), (1, 8, 8, 8))
+    out = il.compress(x)
+    payload = bytearray(out["strings"][0][0])
+    for i in range(4, min(len(payload), 40)):
+        payload[i] ^= 0xA5
+    bad = [[bytes(payload)], out["strings"][1], out["strings"][2]]
+    c, g = il.decompress(bad, out["shape"])  # must not crash
+    assert np.all(np.isfinite(np.asarray(c)))

@@ -1,0 +1,156 @@
+"""Device (in-jit) interleaved rANS decode must be bit-exact vs the host
+coder: same CDF tables, same per-symbol code (escape slot + 4-bit bypass
+chunks), same renorm words. Reference behavior being replaced: the host
+round trips of the multi-program decode chain (codec.py "Latency design");
+the reference itself always decodes on the host (compressai
+model/compression.py:215-273)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdeic_tpu.entropy.coder import (
+    CdfTable,
+    RansDecoder,
+    rans_encode_interleaved,
+)
+from rdeic_tpu.entropy.device_rans import (
+    DeviceRansTables,
+    decode_pass,
+    init_lane_state,
+    lanes_from_bytes,
+    pad_pass_indexes,
+)
+from rdeic_tpu.ops import gaussian as g
+
+
+@pytest.fixture(scope="module")
+def table():
+    cdf, lengths, offsets = g.build_cdf_tables(g.get_scale_table())
+    return CdfTable(cdf, lengths, offsets)
+
+
+def _random_case(table, rng, n_passes, sizes, esc_frac=0.0):
+    """Random (symbols, indexes) per pass; esc_frac forces bypass escapes."""
+    syms, idxs, pass_sizes = [], [], []
+    for p in range(n_passes):
+        n = sizes[p]
+        idx = rng.integers(0, table.ncdfs, n).astype(np.int32)
+        max_v = table.length[idx] - 2
+        off = table.offset[idx]
+        # in-range values: offset + [0, max_v)
+        v = (off + rng.integers(0, 1 << 30) % np.maximum(max_v, 1)).astype(
+            np.int32
+        )
+        if esc_frac:
+            esc = rng.random(n) < esc_frac
+            wild = rng.integers(-3000, 3000, n).astype(np.int32)
+            v = np.where(esc, wild, v)
+        syms.append(v)
+        idxs.append(idx)
+        pass_sizes.append(n)
+    return syms, idxs, pass_sizes
+
+
+def _host_decode_interleaved(payload, lane_nbytes, idxs, k, table):
+    """Host reference: per-lane persistent decoders, pass-striped order."""
+    decs, pos = [], 0
+    for nb in lane_nbytes:
+        d = RansDecoder()
+        d.set_stream(payload[pos : pos + int(nb)])
+        pos += int(nb)
+        decs.append(d)
+    out = []
+    for idx in idxs:
+        n = idx.shape[0]
+        res = np.zeros(n, np.int32)
+        for lane in range(k):
+            lane_idx = idx[lane::k]
+            if lane_idx.size:
+                res[lane::k] = decs[lane].decode_stream(lane_idx, table)
+        out.append(res)
+    for d in decs:
+        d.close()
+    return out
+
+
+def _device_decode(payload, lane_nbytes, idxs, k, table):
+    tabs = DeviceRansTables(table)
+    words, nwords = lanes_from_bytes(payload, lane_nbytes)
+    words = jnp.asarray(words)
+    nwords = jnp.asarray(nwords)
+    state, ptr = init_lane_state(words, nwords)
+    outs = []
+    for idx in idxs:
+        padded, n = pad_pass_indexes(idx.astype(np.int32), k)
+        syms, (state, ptr) = decode_pass(
+            tabs, words, nwords, state, ptr, jnp.asarray(padded), n
+        )
+        outs.append(np.asarray(syms)[:n])
+    return outs
+
+
+@pytest.mark.parametrize("k,esc", [(4, 0.0), (4, 0.05), (7, 0.02)])
+def test_device_matches_host(table, k, esc):
+    rng = np.random.default_rng(0 if not esc else int(esc * 1000) + k)
+    syms, idxs, sizes = _random_case(
+        table, rng, n_passes=4, sizes=[64, 96, 40, 33], esc_frac=esc
+    )
+    payload, lane_nbytes = rans_encode_interleaved(
+        np.concatenate(syms), np.concatenate(idxs), sizes, k, table
+    )
+    host = _host_decode_interleaved(payload, lane_nbytes, idxs, k, table)
+    dev = _device_decode(payload, lane_nbytes, idxs, k, table)
+    for h, d, s in zip(host, dev, syms):
+        np.testing.assert_array_equal(h, s)  # host decodes what was encoded
+        np.testing.assert_array_equal(d, s)  # device bit-exact too
+
+
+def test_device_decode_batched(table):
+    """Two independent images decoded in one vectorized program."""
+    rng = np.random.default_rng(7)
+    k = 8
+    cases = []
+    for _ in range(2):
+        syms, idxs, sizes = _random_case(
+            table, rng, n_passes=2, sizes=[48, 80], esc_frac=0.03
+        )
+        payload, lane_nbytes = rans_encode_interleaved(
+            np.concatenate(syms), np.concatenate(idxs), sizes, k, table
+        )
+        cases.append((syms, idxs, payload, lane_nbytes))
+    # stack to [B, K, W]
+    lw = [lanes_from_bytes(c[2], c[3]) for c in cases]
+    wmax = max(w.shape[1] for w, _ in lw)
+    words = np.zeros((2, k, wmax), np.uint32)
+    nwords = np.zeros((2, k), np.int32)
+    for b, (w, nw) in enumerate(lw):
+        words[b, :, : w.shape[1]] = w
+        nwords[b] = nw
+    tabs = DeviceRansTables(table)
+    words = jnp.asarray(words)
+    nwords = jnp.asarray(nwords)
+    state, ptr = init_lane_state(words, nwords)
+    for p in range(2):
+        idx_b = np.stack([c[1][p] for c in cases])
+        padded, n = pad_pass_indexes(idx_b.astype(np.int32), k)
+        syms, (state, ptr) = decode_pass(
+            tabs, words, nwords, state, ptr, jnp.asarray(padded), n
+        )
+        for b in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(syms)[b, :n], cases[b][0][p]
+            )
+
+
+def test_corrupt_lanes_never_crash(table):
+    """Garbage lane bytes must decode to garbage, not crash (crash-safety
+    parity with the host decoder's zero-fill)."""
+    rng = np.random.default_rng(3)
+    k = 4
+    payload = rng.integers(0, 256, 160, dtype=np.uint8).tobytes()
+    lane_nbytes = np.full(k, 40, np.int32)
+    idx = rng.integers(0, table.ncdfs, 50).astype(np.int32)
+    out = _device_decode(payload, lane_nbytes, [idx], k, table)
+    assert out[0].shape == (50,)
+    assert np.all(np.isfinite(out[0]))
