@@ -67,9 +67,16 @@ def _probe_backend(timeout_s: int | None = None, retries: int | None = None) -> 
 def main():
     # persistent XLA compile cache: repeat bench runs skip the warmup
     # compiles (repo-local default so it survives /tmp cleanup)
+    import os as _os0
+
     from rdeic_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+    # serving default: 128-lane interleaved streams decoded on device
+    # (entropy/device_rans.py) — decompress becomes pure async device
+    # dataflow. Costs ~0.5 KB/stream of rate; RDEIC_RANS_LANES=0 reverts
+    # to the host-interactive legacy format.
+    _os0.environ.setdefault("RDEIC_RANS_LANES", "128")
     fell_back = False
     if not _probe_backend():
         log("backend probe failed (TPU tunnel down?) -> CPU fallback")
@@ -236,20 +243,29 @@ def main():
     log(f"pipelined-3stage ms/image (chunk={CH} x {NCH}): {chunked:.0f}")
     value = float(min(np.median(lat), pipelined, batched, chunked))
 
-    # MFU of the 2-step relay decode scan (XLA flop count vs v5e bf16 peak)
+    # MFU of the 2-step relay decode scan (XLA flop count vs v5e bf16
+    # peak), measured at the scan batch the serving path actually runs
+    # (the micro chunk when RDEIC_BENCH_MICRO is set)
     try:
         cl, gh = model.apply_condition_decompress_batch(params, paths)
-        compiled = fn_b.lower(params, cl, gh, jax.random.PRNGKey(7)).compile()
+        sb = min(MICRO or B, B)
+        cl_s, gh_s = cl[:sb], gh[:sb]
+        compiled = fn_b.lower(
+            params, cl_s, gh_s, jax.random.PRNGKey(7)
+        ).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
             t0 = time.time()
-            jax.block_until_ready(fn_b(params, cl, gh, jax.random.PRNGKey(8)))
+            jax.block_until_ready(
+                fn_b(params, cl_s, gh_s, jax.random.PRNGKey(8))
+            )
             dt = time.time() - t0
             log(
-                f"decode scan: {flops/1e12:.2f} TFLOP, {dt*1000:.0f} ms, "
+                f"decode scan (B={sb}): {flops/1e12:.2f} TFLOP, "
+                f"{dt*1000:.0f} ms, "
                 f"MFU {100*flops/dt/197e12:.1f}% of v5e bf16 peak"
             )
     except Exception as e:
