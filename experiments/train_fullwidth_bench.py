@@ -131,6 +131,10 @@ def main():
         frozen_dtype=jnp.bfloat16 if args.frozen_bf16 else None,
     )
     state = trainer.init_state(params, jax.random.PRNGKey(0))
+    # init_state re-casts the frozen subtree (e.g. bf16 storage); holding
+    # the fp32 originals would pin ~2 GB of dead copies in HBM at full
+    # width (same fix as train.py's post-init del)
+    del params
     n_train = sum(
         x.size for x in jax.tree_util.tree_leaves(state.train_params)
     )

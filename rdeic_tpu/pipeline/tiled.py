@@ -82,8 +82,9 @@ def tiled_compress(
             patch = jnp.asarray(padded[:, y0 : y0 + tile, x0 : x0 + tile])
             h = feat_fn(params, patch)
             out = codec.compress(h)
-            strings.append(out["strings"][0])  # [y_string]
-            strings.append(out["strings"][1])  # [z_string]
+            # pass the codec container through verbatim: 2 groups in the
+            # legacy format, 3 with interleaved lanes (codec.py)
+            strings.extend(out["strings"])
             zshape = out["shape"]
     meta = struct.pack(_META_FMT, H, W, tile, overlap, len(ys), len(xs))
     with Path(stream_path).open("wb") as f:
@@ -158,17 +159,19 @@ def tiled_decompress_decode(
         )
     H, W, tile, overlap, n_th, n_tw = struct.unpack(_META_FMT, meta)
     tiles = strings[1:]
-    if len(tiles) != 2 * n_th * n_tw:
+    n_tiles = n_th * n_tw
+    # per-tile group count: 2 legacy (y, z) or 3 interleaved (y, z, lanes)
+    gs, rem = divmod(len(tiles), n_tiles)
+    if rem or gs not in (2, 3):
         raise ValueError(
-            f"corrupt tiled stream: {len(tiles)} tile strings, "
-            f"expected {2 * n_th * n_tw}"
+            f"corrupt tiled stream: {len(tiles)} tile strings for "
+            f"{n_tiles} tiles"
         )
 
     codec = model.codec(params)
     c_latents, hints = [], []
-    for i in range(n_th * n_tw):
-        y_s, z_s = tiles[2 * i], tiles[2 * i + 1]
-        cl, gh = codec.decompress([y_s, z_s], zshape)
+    for i in range(n_tiles):
+        cl, gh = codec.decompress(tiles[gs * i : gs * (i + 1)], zshape)
         c_latents.append(cl)
         hints.append(gh)
     c_latent = jnp.concatenate(c_latents)
@@ -236,13 +239,13 @@ def _decompress_decode_xctx(
     mesh,
 ) -> np.ndarray:
     _v, H, W, tile, overlap, n_th, n_tw = struct.unpack(_META2_FMT, meta)
-    if len(strings) != 3:
+    if len(strings) not in (3, 4):  # meta + codec container (2 or 3 groups)
         raise ValueError(
             f"corrupt cross-tile stream: {len(strings)} string groups, "
-            "expected meta + y + z"
+            "expected meta + y + z [+ lane table]"
         )
     codec = model.codec(params)
-    c_latent, guide_hint = codec.decompress([strings[1], strings[2]], zshape)
+    c_latent, guide_hint = codec.decompress(strings[1:], zshape)
 
     f = _vae_factor(model)
     lt, lov = tile // f, overlap // f

@@ -28,6 +28,10 @@ def test_forced_fallback_stamps_backend(monkeypatch, capfd):
     carry backend == "cpu-fallback" and the cpu smoke metric name."""
     monkeypatch.setenv("RDEIC_BENCH_FORCE_CPU", "1")
     monkeypatch.delenv("RDEIC_BENCH_SKIP_PROBE", raising=False)
+    # bench's main() sets serving env defaults (e.g. RDEIC_RANS_LANES);
+    # scope them to this test so they never leak into later in-process
+    # CLI smoke runs
+    monkeypatch.setenv("RDEIC_RANS_LANES", "0")
     old = sys.argv
     try:
         sys.argv = ["bench.py"]

@@ -91,3 +91,27 @@ def test_cross_tile_validation():
             model, None, np.zeros((1, 64, 64, 3), "f4"), "/tmp/x.rdeic",
             tile=64, overlap=2,
         )
+
+
+@pytest.mark.slow
+def test_tiled_roundtrip_interleaved(tmp_path, monkeypatch):
+    """Both tiled container versions must carry the interleaved (3-group)
+    codec container transparently (v1: per-tile groups; v2: whole-image)."""
+    monkeypatch.setenv("RDEIC_RANS_LANES", "4")
+    model = micro_rdeic()
+    params = model.init_params(jax.random.PRNGKey(0), image_hw=(64, 64))
+    img = np.random.default_rng(2).uniform(0, 1, (1, 64, 96, 3)).astype("f4")
+
+    s1 = str(tmp_path / "v1.rdeic")
+    tiled.tiled_compress(model, params, img, s1, tile=64, overlap=32)
+    out1 = tiled.tiled_decompress_decode(
+        model, params, s1, jax.random.PRNGKey(1), steps=2
+    )
+    assert out1.shape == (1, 64, 96, 3) and np.all(np.isfinite(out1))
+
+    s2 = str(tmp_path / "v2.rdeic")
+    tiled.tiled_compress_xctx(model, params, img, s2, tile=64, overlap=32)
+    out2 = tiled.tiled_decompress_decode(
+        model, params, s2, jax.random.PRNGKey(1), steps=2
+    )
+    assert out2.shape == (1, 64, 96, 3) and np.all(np.isfinite(out2))
