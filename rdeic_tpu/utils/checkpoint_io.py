@@ -270,11 +270,22 @@ def load_inference_params(path: str) -> Any:
 
 
 def save_params_npz(path: str, params: Any):
-    """Portable flat .npz export of a params pytree (for weight exchange)."""
+    """Portable flat .npz export of a params pytree (for weight exchange).
+
+    Extension float dtypes (ml_dtypes bfloat16 etc.) are upcast to float32:
+    numpy serializes them as opaque void (`|V2`) records that jit cannot
+    interpret on reload. The upcast is lossless.
+    """
     from flax.traverse_util import flatten_dict  # noqa: PLC0415
 
+    def leaf(v):
+        a = np.asarray(v)
+        if a.dtype.kind == "V":  # ml_dtypes float (bfloat16/f8) leaf
+            a = a.astype(np.float32)
+        return a
+
     flat = {
-        "/".join(k): np.asarray(v) for k, v in flatten_dict(params).items()
+        "/".join(k): leaf(v) for k, v in flatten_dict(params).items()
     }
     np.savez(path, **flat)
 
@@ -299,6 +310,15 @@ def load_params_npz(path: str, device: bool = True) -> Any:
     from flax.traverse_util import unflatten_dict  # noqa: PLC0415
 
     data = np.load(path)
-    conv = jax.numpy.asarray if device else (lambda x: x)
+
+    def conv(x):
+        if x.dtype.kind == "V" and x.dtype.itemsize == 2:
+            # pre-fix export of an ml_dtypes bfloat16 leaf (opaque |V2
+            # record): reinterpret the bytes as bfloat16
+            import ml_dtypes  # noqa: PLC0415
+
+            x = x.view(ml_dtypes.bfloat16)
+        return jax.numpy.asarray(x) if device else x
+
     flat = {tuple(k.split("/")): conv(data[k]) for k in data.files}
     return unflatten_dict(flat)

@@ -215,3 +215,49 @@ def test_load_inference_params_npz(trained_state, tmp_path):
     b = jax.tree_util.tree_leaves(jax.device_get(loaded))
     assert all(np.allclose(np.asarray(x, np.float32), np.asarray(y, np.float32))
                for x, y in zip(a, b))
+
+
+def test_save_params_npz_bf16_roundtrip(tmp_path):
+    """bf16 leaves (frozen_dtype storage) must survive the npz round trip
+    as real floats: numpy would otherwise serialize ml_dtypes bfloat16 as
+    opaque |V2 records that jit cannot interpret on reload (seen on the
+    round-4 phase-1 export)."""
+    import ml_dtypes
+    import numpy as np
+
+    from rdeic_tpu.utils.checkpoint_io import (
+        load_params_npz,
+        save_params_npz,
+    )
+
+    vals = np.arange(6, dtype=np.float32).reshape(2, 3)
+    tree = {"frozen": {"w": vals.astype(ml_dtypes.bfloat16)},
+            "train": {"k": np.full((3,), 7.0, np.float32)}}
+    p = str(tmp_path / "bf16.npz")
+    save_params_npz(p, tree)
+
+    raw = np.load(p)
+    assert all(raw[k].dtype.kind != "V" for k in raw.files)
+
+    back = load_params_npz(p, device=False)
+    assert back["frozen"]["w"].dtype == np.float32  # lossless upcast
+    assert np.array_equal(back["frozen"]["w"], vals)
+    assert np.array_equal(back["train"]["k"], tree["train"]["k"])
+
+
+def test_load_params_npz_legacy_v2(tmp_path):
+    """Pre-fix exports hold |V2 bf16 leaves; the loader reinterprets the
+    bytes as bfloat16 instead of handing jit an opaque record."""
+    import ml_dtypes
+    import numpy as np
+
+    from rdeic_tpu.utils.checkpoint_io import load_params_npz
+
+    vals = np.arange(4, dtype=np.float32).astype(ml_dtypes.bfloat16)
+    legacy = vals.view(np.dtype("V2"))  # what np.savez wrote pre-fix
+    p = str(tmp_path / "legacy.npz")
+    np.savez(p, **{"frozen/w": legacy})
+    back = load_params_npz(p, device=False)
+    assert back["frozen"]["w"].dtype == ml_dtypes.bfloat16
+    assert np.array_equal(back["frozen"]["w"].astype(np.float32),
+                          vals.astype(np.float32))
