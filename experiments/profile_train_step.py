@@ -52,7 +52,15 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--no_remat", action="store_true")
+    ap.add_argument("--remat_policy", type=str, default=None,
+                    choices=["dots"])
+    ap.add_argument("--frozen_bf16", action="store_true",
+                    help="bf16 frozen-weight storage (the shipped recipe)")
     ap.add_argument("--top", type=int, default=12)
+    ap.add_argument("--time_only", action="store_true",
+                    help="skip the xplane trace (the tunnel profiler can "
+                    "RESOURCE_EXHAUSTED the chip); just time steps")
+    ap.add_argument("--steps", type=int, default=5)
     args = ap.parse_args()
 
     from rdeic_tpu.registry import instantiate_from_config, load_yaml
@@ -66,6 +74,11 @@ def main():
             cfg["params"].setdefault(key, {}).setdefault("params", {})[
                 "use_checkpoint"
             ] = False
+    if args.remat_policy:
+        for key in ("control_stage_config", "unet_config"):
+            cfg["params"].setdefault(key, {}).setdefault("params", {})[
+                "remat_policy"
+            ] = args.remat_policy
     model = instantiate_from_config(cfg)
     model.set_compute_dtype(jnp.bfloat16)
 
@@ -73,7 +86,9 @@ def main():
 
     log("materializing params...")
     params = _fast_random_params(model, (args.size, args.size))
-    trainer = Trainer(model)
+    trainer = Trainer(
+        model, frozen_dtype=jnp.bfloat16 if args.frozen_bf16 else None
+    )
     state = trainer.init_state(params, jax.random.PRNGKey(0))
     batch = jax.device_put(
         jnp.asarray(
@@ -85,6 +100,21 @@ def main():
     log("compile + warm step...")
     state, _ = trainer.step(state, batch)
     jax.block_until_ready(state.train_params)
+
+    if args.time_only:
+        times = []
+        for _ in range(args.steps):
+            t0 = time.time()
+            state, logs = trainer.step(state, batch)
+            # block_until_ready alone is not a reliable sync over the axon
+            # tunnel (observed returning in ~20 ms for a ~400 ms step);
+            # pulling a scalar output is
+            float(logs["loss"])
+            times.append((time.time() - t0) * 1000)
+        best = min(times)
+        print(f"step times ms: {[f'{t:.1f}' for t in times]}")
+        print(f"best {best:.1f} ms -> {args.batch / best * 1000:.2f} images/s")
+        return
 
     tdir = tempfile.mkdtemp(prefix="rdeic_prof_")
     t0 = time.time()
@@ -104,7 +134,11 @@ def main():
     for plane in data.planes:
         if "TPU" not in plane.name and "Device" not in plane.name:
             continue
-        for line in plane.lines:
+        # the xplane nests events (module > op); summing every line would
+        # double count — prefer the leaf "XLA Ops" line when present
+        lines = list(plane.lines)
+        op_lines = [ln for ln in lines if "XLA Ops" in (ln.name or "")]
+        for line in op_lines or lines:
             for ev in line.events:
                 dur = ev.duration_ns
                 name = ev.name

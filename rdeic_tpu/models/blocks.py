@@ -78,11 +78,20 @@ class Conv(nn.Module):
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm in float32; groups = largest divisor of C that is <= max_groups.
+    """GroupNorm with fp32 statistics; groups = largest divisor of C that is
+    <= max_groups.
 
     This reproduces both the stock GroupNorm(32, C) (all SD channel counts are
     multiples of 32) and the control module's GroupNorm_leq32 /
     find_denominator behavior for ratio-scaled widths (rdeic.py:473-485).
+
+    The reference's GroupNorm32 casts the whole activation to fp32
+    (ldm util: `x.float()`), which on TPU doubles the normalize pass's HBM
+    traffic and peaks f32[B,512,512,C] temps at the VAE's full-res layers
+    (observed OOM'ing the B=4 refine step). Flax computes the mean/var
+    reductions in fp32 regardless of `dtype`, so normalizing in the input
+    dtype keeps the fp32-stability rationale while halving the bytes; for
+    fp32 inputs this is bit-identical to the reference behavior.
     """
 
     max_groups: int = 32
@@ -90,11 +99,10 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        orig = x.dtype
         groups = find_denominator(x.shape[-1], self.max_groups)
-        x = x.astype(jnp.float32)
-        x = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon)(x)
-        return x.astype(orig)
+        return nn.GroupNorm(
+            num_groups=groups, epsilon=self.epsilon, dtype=x.dtype
+        )(x)
 
 
 def zero_init_conv(features: int, kernel: int = 1, padding: int = 0):

@@ -37,11 +37,10 @@ class Normalize(nn.Module):
         from rdeic_tpu.models.blocks import find_denominator
 
         groups = find_denominator(x.shape[-1], 32)
-        orig = x.dtype
-        out = nn.GroupNorm(num_groups=groups, epsilon=1e-6)(
-            x.astype(jnp.float32)
-        )
-        return out.astype(orig)
+        # fp32 statistics (flax promotes the reductions), normalize in the
+        # input dtype: the reference's full fp32 cast peaks f32 temps at
+        # 512-res layers and doubles the pass's HBM bytes (see GroupNorm32)
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-6, dtype=x.dtype)(x)
 
 
 class ResnetBlock(nn.Module):
