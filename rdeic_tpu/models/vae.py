@@ -147,19 +147,29 @@ class VAEDecoder(nn.Module):
     num_res_blocks: int = 2
     out_ch: int = 3
     dtype: Any = jnp.float32
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(self, z):
         dt = self.dtype
+        # Refine-phase training backprops through the decoder (frozen weights,
+        # grads flow to the latent); without remat the backward holds every
+        # intermediate full-res activation (~260 MB each at B=4 512px — the
+        # measured OOM). Per-block remat stores only block boundaries and
+        # recomputes the rest: the decoder is ~3% of the refine step's FLOPs,
+        # so the recompute is roofline-free relative to the memory it returns.
+        remat = self.use_checkpoint
+        Res = nn.remat(ResnetBlock) if remat else ResnetBlock
+        Attn = nn.remat(AttnBlock) if remat else AttnBlock
         block_in = self.ch * self.ch_mult[-1]
         h = Conv(block_in, kernel=3, dtype=dt, name="conv_in")(z)
-        h = ResnetBlock(block_in, dt, name="mid_block_1")(h)
-        h = AttnBlock(dt, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, dt, name="mid_block_2")(h)
+        h = Res(block_in, dt, name="mid_block_1")(h)
+        h = Attn(dt, name="mid_attn_1")(h)
+        h = Res(block_in, dt, name="mid_block_2")(h)
         for i in reversed(range(len(self.ch_mult))):
             out = self.ch * self.ch_mult[i]
             for j in range(self.num_res_blocks + 1):
-                h = ResnetBlock(out, dt, name=f"up_{i}_block_{j}")(h)
+                h = Res(out, dt, name=f"up_{i}_block_{j}")(h)
             if i != 0:
                 h = Upsample(dt, name=f"up_{i}_upsample")(h)
         h = Normalize(name="norm_out")(h)
@@ -175,6 +185,7 @@ class AutoencoderKL(nn.Module):
     ch_mult: Sequence[int] = (1, 2, 4, 4)
     num_res_blocks: int = 2
     dtype: Any = jnp.float32
+    use_checkpoint: bool = False
 
     def setup(self):
         self.encoder = VAEEncoder(
@@ -183,7 +194,7 @@ class AutoencoderKL(nn.Module):
         )
         self.decoder = VAEDecoder(
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
-            dtype=self.dtype, name="decoder",
+            dtype=self.dtype, use_checkpoint=self.use_checkpoint, name="decoder",
         )
         self.quant_conv = Conv(2 * self.embed_dim, kernel=1, name="quant_conv")
         self.post_quant_conv = Conv(self.embed_dim, kernel=1, name="post_quant_conv")

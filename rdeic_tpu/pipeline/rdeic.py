@@ -128,6 +128,7 @@ class RDEIC:
             ch=dd.get("ch", 128),
             ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
             num_res_blocks=dd.get("num_res_blocks", 2),
+            use_checkpoint=bool(vae_cfg.get("use_checkpoint", False)),
         )
         self.compression = CompressionModel(
             in_nc=comp.get("in_nc", 512),

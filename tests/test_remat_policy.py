@@ -77,3 +77,39 @@ def test_rdeic_policy_survives_dtype_clone():
     model.set_compute_dtype(jnp.bfloat16)
     assert model.denoiser.remat_policy == "dots"
     assert model.denoiser.dtype == jnp.bfloat16
+
+
+def test_vae_decoder_remat_same_values_and_grads():
+    """use_checkpoint on the VAE decoder is numerics-neutral (values + grads)
+    and actually inserts remat into the gradient program.
+
+    Refine training backprops through the (frozen) decoder to the latent;
+    per-block remat is how B=4 fits one v5e (BENCHLOG round 4).
+    """
+    from rdeic_tpu.models.vae import AutoencoderKL
+
+    kw = dict(embed_dim=4, ch=8, ch_mult=(1, 2), num_res_blocks=1)
+    plain = AutoencoderKL(**kw)
+    remat = AutoencoderKL(use_checkpoint=True, **kw)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    params = plain.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(2)
+    )["params"]
+
+    def dec(model, latent):
+        return model.apply({"params": params}, latent, method=AutoencoderKL.decode)
+
+    out_plain = dec(plain, z)
+    out_remat = dec(remat, z)
+    assert jnp.allclose(out_plain, out_remat, atol=0, rtol=0)
+
+    def loss(model):
+        def f(latent):
+            return jnp.sum(dec(model, latent) ** 2)
+        return f
+
+    g_plain = jax.grad(loss(plain))(z)
+    g_remat = jax.grad(loss(remat))(z)
+    assert jnp.allclose(g_plain, g_remat, atol=1e-5, rtol=1e-5)
+    assert "remat" in str(jax.make_jaxpr(jax.grad(loss(remat)))(z))
+    assert "remat" not in str(jax.make_jaxpr(jax.grad(loss(plain)))(z))
