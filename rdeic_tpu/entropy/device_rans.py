@@ -191,6 +191,175 @@ def decode_pass(tables: DeviceRansTables, words, nwords, state, ptr, idx,
     return syms, (state, ptr)
 
 
+# ---------------------------------------------------------------------------
+# On-device (TPU) interleaved rANS ENCODING — the mirror of decode_pass.
+#
+# Motivation: the encode side of the multi-program codec pulls every pass's
+# (symbols, indexes) to the host (~2 MB/image through a ~40 MB/s device
+# link) just to run the host encoder. Encoding on device means only the
+# COMPRESSED lane words cross the link (payload-sized: ~bpp/8 bytes/pixel).
+#
+# Bit-exactness: every emitted word matches csrc/rans.cpp encode_one /
+# rans_encode_interleaved byte for byte (tests/test_device_rans.py pins
+# payload == host payload). The key structural fact making this a clean
+# lax.scan: the rANS state is < 2^32, so each primitive (enc_symbol,
+# enc_raw-4-bit) renormalizes AT MOST ONE 16-bit word per call — each scan
+# step does a bounded number of masked scatter-appends per lane.
+# ---------------------------------------------------------------------------
+
+
+def build_pass_steps(syms, idxs, k: int):
+    """Stack per-pass flat [B, n_p] symbol/index arrays into step-major
+    [T, B, K] scan inputs plus the validity mask (traceable; pads each
+    pass to a multiple of K lanes so symbol j of a pass rides lane j%K,
+    matching rans_encode_interleaved's striping)."""
+    sym_steps, idx_steps, valid_steps = [], [], []
+    b = syms[0].shape[0]
+    for s, ix in zip(syms, idxs):
+        n = int(np.prod(s.shape[1:]))
+        s = s.reshape(b, n).astype(jnp.int32)
+        ix = ix.reshape(b, n).astype(jnp.int32)
+        pad = (-n) % k
+        if pad:
+            s = jnp.pad(s, ((0, 0), (0, pad)))
+            ix = jnp.pad(ix, ((0, 0), (0, pad)))
+        t = (n + pad) // k
+        sym_steps.append(jnp.moveaxis(s.reshape(b, t, k), 1, 0))
+        idx_steps.append(jnp.moveaxis(ix.reshape(b, t, k), 1, 0))
+        valid = (jnp.arange(t * k, dtype=jnp.int32) < n).reshape(t, 1, k)
+        valid_steps.append(jnp.broadcast_to(valid, (t, b, k)))
+    return (
+        jnp.concatenate(sym_steps, axis=0),
+        jnp.concatenate(idx_steps, axis=0),
+        jnp.concatenate(valid_steps, axis=0),
+    )
+
+
+def encode_lanes(tables: DeviceRansTables, sym_steps, idx_steps, valid_steps,
+                 wcap: int):
+    """Encode all passes' symbols onto [B, K] independent rANS lanes.
+
+    sym/idx/valid: [T, B, K] (int32/int32/bool) in FORWARD stream order
+    (build_pass_steps output). Returns (words [B, K, wcap] uint16 in emit
+    order — stream order is the REVERSE, see assemble_lane_payloads —
+    nwords [B, K] int32 incl. the 2-word state flush, and a scalar bool
+    overflow flag; on overflow the words are unusable and the caller must
+    fall back to the host encoder)."""
+    t_tot, b, k = sym_steps.shape
+    lane_base = (jnp.arange(b * k, dtype=jnp.int32).reshape(b, k) * wcap)
+    oob = jnp.int32(b * k * wcap)
+
+    def emit_word(words, wptr, x, do, ovf):
+        pos = jnp.where(do & (wptr < wcap), lane_base + wptr, oob)
+        words = words.at[pos.reshape(-1)].set(
+            (x & _MASK16).astype(jnp.uint16).reshape(-1), mode="drop"
+        )
+        ovf = ovf | jnp.any(do & (wptr >= wcap))
+        return words, wptr + do.astype(jnp.int32), ovf
+
+    def enc_symbol(x, start, freq, do, words, wptr, ovf):
+        # renorm: emit while x >= freq << 16 — at most once (x < 2^32)
+        em = do & ((x >> 16) >= freq)
+        words, wptr, ovf = emit_word(words, wptr, x, em, ovf)
+        x1 = jnp.where(em, x >> 16, x)
+        f = jnp.where(do & (freq > 0), freq, jnp.uint32(1))
+        q = x1 // f
+        x2 = (q << _PROB_BITS) + (x1 - q * f) + start
+        return jnp.where(do, x2, x), words, wptr, ovf
+
+    def enc_raw4(x, bits, do, words, wptr, ovf):
+        em = do & (x >= jnp.uint32(1 << 28))
+        words, wptr, ovf = emit_word(words, wptr, x, em, ovf)
+        x1 = jnp.where(em, x >> 16, x)
+        return jnp.where(do, (x1 << 4) | bits, x), words, wptr, ovf
+
+    def step(carry, inp):
+        state, wptr, words, ovf = carry
+        s, cidx, valid = inp
+        length = _take(tables.lengths, cidx)
+        max_value = length - 2
+        v = s - _take(tables.offsets, cidx)
+        esc = valid & ((v < 0) | (v >= max_value))
+        slot = jnp.where(esc, max_value, jnp.clip(v, 0, max_value - 1))
+        base = cidx * tables.max_len
+        lo = _take(tables.cdf_flat, base + slot).astype(jnp.uint32)
+        hi = _take(tables.cdf_flat, base + slot + 1).astype(jnp.uint32)
+        freq = hi - lo
+        # zigzag_escape (csrc rans.cpp): overflow -> (v-max)<<1,
+        # underflow -> ((-v-1)<<1)|1
+        z = jnp.where(
+            v >= max_value, (v - max_value) << 1, ((-v - 1) << 1) | 1
+        ).astype(jnp.uint32)
+        z = jnp.where(esc, z, jnp.uint32(0))
+        # top chunk's shift: largest multiple of 3 with z >> shift != 0
+        shift0 = jnp.zeros_like(s)
+        for t in range(3, 31, 3):
+            shift0 = jnp.where((z >> t) != 0, t, shift0)
+
+        # bypass chunks, most-significant first; continuation bit 8 on
+        # every chunk BELOW the top one (encode_one builds LSB-up and
+        # emits reversed)
+        def chunk_cond(c):
+            return jnp.any(c[0])
+
+        def chunk_body(c):
+            active, shift, x, wp, wd, ov = c
+            sh = jnp.clip(shift, 0, 30).astype(jnp.uint32)
+            bits = ((z >> sh) & 7) | jnp.where(
+                shift < shift0, jnp.uint32(8), jnp.uint32(0)
+            )
+            x, wd, wp, ov = enc_raw4(x, bits, active, wd, wp, ov)
+            shift2 = shift - 3
+            return active & (shift2 >= 0), shift2, x, wp, wd, ov
+
+        _, _, state, wptr, words, ovf = jax.lax.while_loop(
+            chunk_cond, chunk_body, (esc, shift0, state, wptr, words, ovf)
+        )
+        # slot code: the symbol itself, or the escape slot after the chunks
+        state, words, wptr, ovf = enc_symbol(
+            state, lo, freq, valid, words, wptr, ovf
+        )
+        return (state, wptr, words, ovf), None
+
+    state0 = jnp.full((b, k), _RANS_L, jnp.uint32)
+    wptr0 = jnp.zeros((b, k), jnp.int32)
+    words0 = jnp.zeros((b * k * wcap,), jnp.uint16)
+    ovf0 = jnp.asarray(False)
+    # rANS encodes in reverse so the decoder reads forward
+    (state, wptr, words, ovf), _ = jax.lax.scan(
+        step, (state0, wptr0, words0, ovf0),
+        (sym_steps, idx_steps, valid_steps), reverse=True,
+    )
+    # flush: low word then high word (stream-order reversal puts high first,
+    # matching Decoder::init's high-then-low read)
+    ones = jnp.ones((b, k), bool)
+    words, wptr, ovf = emit_word(words, wptr, state, ones, ovf)
+    words, wptr, ovf = emit_word(words, wptr, state >> 16, ones, ovf)
+    return words.reshape(b, k, wcap), wptr, ovf
+
+
+def assemble_lane_payloads(words_np: np.ndarray, nwords_np: np.ndarray):
+    """[K, W] uint16 emit-order words + [K] counts -> (payload bytes,
+    lane_nbytes int32[K]) in the exact rans_encode_interleaved layout:
+    per lane, words reversed, each little-endian."""
+    knum, wmax = words_np.shape
+    nw = nwords_np.astype(np.int64)
+    ar = np.arange(wmax, dtype=np.int64)
+    src = nw[:, None] - 1 - ar[None, :]
+    rev = np.take_along_axis(
+        words_np, np.clip(src, 0, max(wmax - 1, 0)), axis=1
+    ).astype(np.uint16)
+    le = np.empty((knum, wmax, 2), np.uint8)
+    le[..., 0] = rev & 0xFF
+    le[..., 1] = rev >> 8
+    flat = le.reshape(knum, wmax * 2)
+    lane_nbytes = (nw * 2).astype(np.int32)
+    payload = b"".join(
+        flat[i, : lane_nbytes[i]].tobytes() for i in range(knum)
+    )
+    return payload, lane_nbytes
+
+
 def pad_pass_indexes(idx_flat, k: int):
     """Pad a pass's flat index vector to a multiple of K lanes (host-side
     numpy helper used by tests; the codec pads inside its jitted programs)."""

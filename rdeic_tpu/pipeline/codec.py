@@ -114,6 +114,15 @@ class CompressionCodec:
         # (entropy/device_rans.py): the whole decompress chain becomes one
         # jitted program with zero mid-chain host round trips
         self.lanes = int(lanes)
+        # device-side rANS ENCODE on the lanes path (symbols never leave
+        # the device; only compressed lane words cross the link). On by
+        # default with lanes; RDEIC_RANS_DEVICE_ENC=0 reverts to the host
+        # encoder; capacity overflow auto-falls-back per batch.
+        import os  # noqa: PLC0415
+
+        self.device_enc = bool(self.lanes) and (
+            os.environ.get("RDEIC_RANS_DEVICE_ENC", "1") != "0"
+        )
         scale_table = g.get_scale_table()
         self.scale_table = scale_table
         cdf, lengths, offsets = g.build_cdf_tables(scale_table)
@@ -411,6 +420,34 @@ class CompressionCodec:
         self._dev_decode_jit = jax.jit(dev_decode)
         self._lane_init = jax.jit(init_lane_state)
 
+        from rdeic_tpu.entropy.device_rans import (
+            build_pass_steps,
+            encode_lanes,
+        )
+
+        # Device-side ENCODE: symbols never cross the link — only the
+        # compressed lane words do (payload-sized vs ~2 MB/image of
+        # int16 symbols + uint8 indexes). Byte-identical to the host
+        # rans_encode_interleaved (tests/test_device_rans.py).
+        def dev_encode(cdf_flat, lut_flat, lengths, offsets, syms, idxs):
+            class _T:
+                pass
+
+            t = _T()
+            t.cdf_flat, t.lut_flat = cdf_flat, lut_flat
+            t.lengths, t.offsets = lengths, offsets
+            t.max_len = self.table.max_len
+            steps = build_pass_steps(syms, idxs, k)
+            t_tot = int(steps[0].shape[0])
+            # capacity 1 word/symbol (= 16 bits/sym average, far above any
+            # real rate point); overflow flags the host-encoder fallback
+            wcap = 64
+            while wcap < t_tot + 2:
+                wcap *= 2
+            return encode_lanes(t, *steps, wcap)
+
+        self._dev_encode_jit = jax.jit(dev_encode)
+
     def _dev_decode(self, words, nwords, state, ptr, idx_u8):
         t = self._tabs
         return self._dev_decode_jit(
@@ -430,6 +467,17 @@ class CompressionCodec:
         k = int(arr[0])
         return k, arr[1 : 1 + k].astype(np.int64)
 
+    def _lane_container(self, payload: bytes, lane_nbytes, indices_np,
+                        img: int) -> dict:
+        return {
+            "strings": [
+                [payload],
+                [pack_uniform(indices_np[img], self.model.codebook_size)],
+                [self._lane_header(self.lanes, lane_nbytes)],
+            ],
+            "shape": (indices_np.shape[1], indices_np.shape[2]),
+        }
+
     def _flush_interleaved(self, syms, idxs, indices_np, img: int) -> dict:
         """Per-image container from the per-pass (sym, idx) pulls."""
         from rdeic_tpu.entropy.coder import rans_encode_interleaved
@@ -441,14 +489,42 @@ class CompressionCodec:
             np.concatenate(flat_s), np.concatenate(flat_i),
             pass_sizes, self.lanes, self.table,
         )
-        return {
-            "strings": [
-                [payload],
-                [pack_uniform(indices_np[img], self.model.codebook_size)],
-                [self._lane_header(self.lanes, lane_nbytes)],
-            ],
-            "shape": (indices_np.shape[1], indices_np.shape[2]),
-        }
+        return self._lane_container(payload, lane_nbytes, indices_np, img)
+
+    def _compress_device_enc(self, sym_list, idx_list, max_list, indices):
+        """Device-side lane encode: pulls only (nwords, overflow, maxabs)
+        scalars plus the compressed words. Returns None on capacity
+        overflow (caller falls back to the host encoder)."""
+        from rdeic_tpu.entropy.device_rans import assemble_lane_payloads
+
+        t = self._tabs
+        words, nwords, ovf = self._dev_encode_jit(
+            t.cdf_flat, t.lut_flat, t.lengths, t.offsets, sym_list, idx_list
+        )
+        small = jax.device_get([indices, nwords, ovf] + max_list)
+        indices_np, nwords_np = small[0], small[1]
+        _check_sym_range(small[3:])
+        if bool(small[2]):
+            import warnings  # noqa: PLC0415
+
+            warnings.warn(
+                "device rANS encode overflowed its word capacity "
+                "(pathological symbol statistics); falling back to the "
+                "host encoder for this batch"
+            )
+            return None
+        wmax = max(int(nwords_np.max()), 1)
+        wb = 64  # pow2 bucket bounds recompiles of the slice program
+        while wb < wmax:
+            wb *= 2
+        words_np = jax.device_get(words[:, :, :wb])
+        return [
+            self._lane_container(
+                *assemble_lane_payloads(words_np[img], nwords_np[img]),
+                indices_np, img,
+            )
+            for img in range(nwords_np.shape[0])
+        ]
 
     def _lane_words_device(self, outs: list[dict]):
         """Stack per-image lane streams into [B, K, W] device words (W
@@ -599,6 +675,12 @@ class CompressionCodec:
                     anchor_half=anchor_half, y_hat_prev=y_hat_prev,
                     hyper=hyper,
                 )
+        if self.lanes and self.device_enc:
+            outs = self._compress_device_enc(
+                sym_list, idx_list, max_list, indices
+            )
+            if outs is not None:
+                return outs
         pulled = jax.device_get([indices] + sym_list + idx_list + max_list)
         indices_np = pulled[0]
         syms = pulled[1 : 1 + len(sym_list)]
@@ -782,6 +864,12 @@ class CompressionCodec:
                 )
             # last slice: nothing downstream of the final symbols on encode
 
+        if self.lanes and self.device_enc:
+            outs = self._compress_device_enc(
+                sym_list, idx_list, max_list, indices
+            )
+            if outs is not None:
+                return outs[0]
         # one synchronization point: pull everything together
         pulled = jax.device_get([indices] + sym_list + idx_list + max_list)
         indices_np = pulled[0]

@@ -203,3 +203,21 @@ def test_interleaved_corrupt_stream_safe(codec):
     bad = [[bytes(payload)], out["strings"][1], out["strings"][2]]
     c, g = il.decompress(bad, out["shape"])  # must not crash
     assert np.all(np.isfinite(np.asarray(c)))
+
+
+def test_device_enc_matches_host_enc(codec, monkeypatch):
+    """The device-side lane encoder (default) must emit byte-identical
+    containers to the host rans_encode_interleaved fallback path."""
+    x = jax.random.normal(jax.random.PRNGKey(41), (2, 8, 8, 8)) * 2.0
+    dev = CompressionCodec(codec.model, codec.params, lanes=4)
+    assert dev.device_enc
+    monkeypatch.setenv("RDEIC_RANS_DEVICE_ENC", "0")
+    host = CompressionCodec(codec.model, codec.params, lanes=4)
+    assert not host.device_enc
+    o_dev = dev.compress_batch(x)
+    o_host = host.compress_batch(x)
+    for a, b in zip(o_dev, o_host):
+        assert a["strings"][0][0] == b["strings"][0][0]
+        assert a["strings"][1][0] == b["strings"][1][0]
+        assert a["strings"][2][0] == b["strings"][2][0]
+        assert a["shape"] == b["shape"]

@@ -154,3 +154,81 @@ def test_corrupt_lanes_never_crash(table):
     out = _device_decode(payload, lane_nbytes, [idx], k, table)
     assert out[0].shape == (50,)
     assert np.all(np.isfinite(out[0]))
+
+
+# ---------------------------------------------------------------------------
+# Device-side ENCODING (entropy/device_rans.encode_lanes) — must emit the
+# byte-identical payload to the host rans_encode_interleaved for the same
+# (symbols, indexes, pass striping), escapes included.
+# ---------------------------------------------------------------------------
+from rdeic_tpu.entropy.device_rans import (  # noqa: E402
+    assemble_lane_payloads,
+    build_pass_steps,
+    encode_lanes,
+)
+
+
+def _device_encode(syms, idxs, k, table, wcap=None, batch=None):
+    """Encode per-pass flat arrays on device; returns per-image
+    (payload, lane_nbytes). `batch` stacks the same case B times."""
+    tabs = DeviceRansTables(table)
+    b = batch or 1
+    sym_b = [jnp.asarray(np.stack([s] * b)) for s in syms]
+    idx_b = [jnp.asarray(np.stack([i] * b)) for i in idxs]
+    sym_steps, idx_steps, valid_steps = build_pass_steps(sym_b, idx_b, k)
+    t_tot = int(sym_steps.shape[0])
+    if wcap is None:  # random test data is high-entropy (~14 bits/sym)
+        wcap = max(64, 4 * t_tot)
+    words, nwords, ovf = encode_lanes(
+        tabs, sym_steps, idx_steps, valid_steps, wcap
+    )
+    words, nwords, ovf = map(np.asarray, (words, nwords, ovf))
+    return [
+        assemble_lane_payloads(words[i], nwords[i]) for i in range(b)
+    ], bool(ovf)
+
+
+@pytest.mark.parametrize("k,esc", [(4, 0.0), (4, 0.08), (7, 0.02)])
+def test_device_encode_matches_host(table, k, esc):
+    rng = np.random.default_rng(11 + k + int(esc * 100))
+    syms, idxs, sizes = _random_case(
+        table, rng, n_passes=4, sizes=[64, 96, 40, 33], esc_frac=esc
+    )
+    payload, lane_nbytes = rans_encode_interleaved(
+        np.concatenate(syms), np.concatenate(idxs), sizes, k, table
+    )
+    outs, ovf = _device_encode(syms, idxs, k, table)
+    assert not ovf
+    dev_payload, dev_nbytes = outs[0]
+    np.testing.assert_array_equal(dev_nbytes, lane_nbytes)
+    assert dev_payload == payload
+
+
+def test_device_encode_batched_and_roundtrip(table):
+    """B=3 identical images encode to 3 identical host-exact streams, and
+    the device decoder reads a device-encoded stream back bit-exact."""
+    rng = np.random.default_rng(23)
+    syms, idxs, sizes = _random_case(
+        table, rng, n_passes=3, sizes=[80, 31, 57], esc_frac=0.05
+    )
+    payload, lane_nbytes = rans_encode_interleaved(
+        np.concatenate(syms), np.concatenate(idxs), sizes, 4, table
+    )
+    outs, ovf = _device_encode(syms, idxs, 4, table, batch=3)
+    assert not ovf
+    for dev_payload, dev_nbytes in outs:
+        assert dev_payload == payload
+        np.testing.assert_array_equal(dev_nbytes, lane_nbytes)
+    dec = _device_decode(payload, lane_nbytes, idxs, 4, table)
+    for d, s in zip(dec, syms):
+        np.testing.assert_array_equal(d, s)
+
+
+def test_device_encode_overflow_flag(table):
+    """A wcap too small for the stream must raise the overflow flag (the
+    codec then falls back to the host encoder) and never scatter out of
+    the lane's capacity window."""
+    rng = np.random.default_rng(5)
+    syms, idxs, _ = _random_case(table, rng, n_passes=1, sizes=[256])
+    outs, ovf = _device_encode(syms, idxs, 4, table, wcap=4)
+    assert ovf
