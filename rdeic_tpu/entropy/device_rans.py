@@ -201,10 +201,20 @@ def decode_pass(tables: DeviceRansTables, words, nwords, state, ptr, idx,
 #
 # Bit-exactness: every emitted word matches csrc/rans.cpp encode_one /
 # rans_encode_interleaved byte for byte (tests/test_device_rans.py pins
-# payload == host payload). The key structural fact making this a clean
-# lax.scan: the rANS state is < 2^32, so each primitive (enc_symbol,
-# enc_raw-4-bit) renormalizes AT MOST ONE 16-bit word per call — each scan
-# step does a bounded number of masked scatter-appends per lane.
+# payload == host payload). Two structural facts make this a cheap
+# lax.scan (measured: in-scan table gathers and a per-step while_loop
+# each cost more than the whole remaining step):
+#   1. the rANS state is < 2^32, so each primitive (enc_symbol,
+#      enc_raw-4-bit) renormalizes AT MOST ONE 16-bit word per call;
+#   2. symbols are int16-guarded by the codec, so an escape's zigzag
+#      payload z < 2^18 needs at most SIX 3-bit bypass chunks — and six
+#      4-bit pushes (24 bits) can renormalize at most TWICE (the first
+#      emission leaves x < 2^16; re-reaching the 2^28 threshold takes
+#      three more pushes). Each step therefore emits at most 3 words
+#      (2 chunk renorms + 1 slot renorm) at STATICALLY KNOWN relative
+#      positions — one masked scatter per step, no control flow.
+# All per-symbol table lookups (start/freq/escape payload) are gathered
+# OUTSIDE the scan in one vectorized pass; the scan body is pure ALU.
 # ---------------------------------------------------------------------------
 
 
@@ -246,95 +256,124 @@ def encode_lanes(tables: DeviceRansTables, sym_steps, idx_steps, valid_steps,
     overflow flag; on overflow the words are unusable and the caller must
     fall back to the host encoder)."""
     t_tot, b, k = sym_steps.shape
+    u32 = jnp.uint32
+
+    # --- vectorized per-symbol precompute (all table gathers up front) ---
+    cidx = idx_steps
+    length = _take(tables.lengths, cidx)
+    max_value = length - 2
+    v = sym_steps - _take(tables.offsets, cidx)
+    esc = valid_steps & ((v < 0) | (v >= max_value))
+    slot = jnp.where(esc, max_value, jnp.clip(v, 0, max_value - 1))
+    base = cidx * tables.max_len
+    lo = _take(tables.cdf_flat, base + slot).astype(u32)
+    hi = _take(tables.cdf_flat, base + slot + 1).astype(u32)
+    start = lo
+    # freq-1 fits uint16 even for a degenerate full-range slot
+    freqm1 = (hi - lo - 1).astype(jnp.uint16)
+    # zigzag_escape (csrc rans.cpp): overflow -> (v-max)<<1,
+    # underflow -> ((-v-1)<<1)|1
+    z = jnp.where(
+        v >= max_value, (v - max_value) << 1, ((-v - 1) << 1) | 1
+    ).astype(u32)
+    z = jnp.where(esc, z, u32(0))
+    # int16-guarded symbols keep z < 2^18 (6 chunks); anything wider is
+    # unencodable by the 6-stage pipeline -> flag for the host fallback
+    pre_ovf = jnp.any(z >> 18 != 0)
+    # top chunk's shift: largest multiple of 3 with z >> shift != 0
+    shift0 = jnp.zeros_like(sym_steps)
+    for t in range(3, 18, 3):
+        shift0 = jnp.where((z >> t) != 0, t, shift0)
+    xs = (
+        start.astype(jnp.uint16),
+        freqm1,
+        z,
+        shift0.astype(jnp.int8),
+        valid_steps,
+        esc,
+    )
+
     lane_base = (jnp.arange(b * k, dtype=jnp.int32).reshape(b, k) * wcap)
     oob = jnp.int32(b * k * wcap)
-
-    def emit_word(words, wptr, x, do, ovf):
-        pos = jnp.where(do & (wptr < wcap), lane_base + wptr, oob)
-        words = words.at[pos.reshape(-1)].set(
-            (x & _MASK16).astype(jnp.uint16).reshape(-1), mode="drop"
-        )
-        ovf = ovf | jnp.any(do & (wptr >= wcap))
-        return words, wptr + do.astype(jnp.int32), ovf
-
-    def enc_symbol(x, start, freq, do, words, wptr, ovf):
-        # renorm: emit while x >= freq << 16 — at most once (x < 2^32)
-        em = do & ((x >> 16) >= freq)
-        words, wptr, ovf = emit_word(words, wptr, x, em, ovf)
-        x1 = jnp.where(em, x >> 16, x)
-        f = jnp.where(do & (freq > 0), freq, jnp.uint32(1))
-        q = x1 // f
-        x2 = (q << _PROB_BITS) + (x1 - q * f) + start
-        return jnp.where(do, x2, x), words, wptr, ovf
-
-    def enc_raw4(x, bits, do, words, wptr, ovf):
-        em = do & (x >= jnp.uint32(1 << 28))
-        words, wptr, ovf = emit_word(words, wptr, x, em, ovf)
-        x1 = jnp.where(em, x >> 16, x)
-        return jnp.where(do, (x1 << 4) | bits, x), words, wptr, ovf
+    thresh_raw = u32(1 << 28)
 
     def step(carry, inp):
-        state, wptr, words, ovf = carry
-        s, cidx, valid = inp
-        length = _take(tables.lengths, cidx)
-        max_value = length - 2
-        v = s - _take(tables.offsets, cidx)
-        esc = valid & ((v < 0) | (v >= max_value))
-        slot = jnp.where(esc, max_value, jnp.clip(v, 0, max_value - 1))
-        base = cidx * tables.max_len
-        lo = _take(tables.cdf_flat, base + slot).astype(jnp.uint32)
-        hi = _take(tables.cdf_flat, base + slot + 1).astype(jnp.uint32)
-        freq = hi - lo
-        # zigzag_escape (csrc rans.cpp): overflow -> (v-max)<<1,
-        # underflow -> ((-v-1)<<1)|1
-        z = jnp.where(
-            v >= max_value, (v - max_value) << 1, ((-v - 1) << 1) | 1
-        ).astype(jnp.uint32)
-        z = jnp.where(esc, z, jnp.uint32(0))
-        # top chunk's shift: largest multiple of 3 with z >> shift != 0
-        shift0 = jnp.zeros_like(s)
-        for t in range(3, 31, 3):
-            shift0 = jnp.where((z >> t) != 0, t, shift0)
+        x, wptr, words, ovf = carry
+        start16, fm1, z, sh0, valid, esc = inp
+        start = start16.astype(u32)
+        freq = fm1.astype(u32) + 1
 
-        # bypass chunks, most-significant first; continuation bit 8 on
-        # every chunk BELOW the top one (encode_one builds LSB-up and
-        # emits reversed)
-        def chunk_cond(c):
-            return jnp.any(c[0])
-
-        def chunk_body(c):
-            active, shift, x, wp, wd, ov = c
-            sh = jnp.clip(shift, 0, 30).astype(jnp.uint32)
-            bits = ((z >> sh) & 7) | jnp.where(
-                shift < shift0, jnp.uint32(8), jnp.uint32(0)
+        # --- bypass chunks, most-significant first, 6 unrolled stages;
+        # stage j handles shift = shift0 - 3j while active (j*3 <= shift0).
+        # At most TWO of the six enc_raw pushes renormalize (see header).
+        sh0u = jnp.maximum(sh0, 0).astype(u32)
+        ce = jnp.zeros_like(wptr)  # chunk words emitted so far (0..2)
+        w_c0 = jnp.zeros_like(start16)
+        w_c1 = jnp.zeros_like(start16)
+        for j in range(6):
+            sh = sh0u - u32(3 * j)
+            active = esc & (sh0 >= 3 * j)
+            bits = ((z >> jnp.where(active, sh, u32(0))) & 7) | (
+                u32(8) if j else u32(0)
             )
-            x, wd, wp, ov = enc_raw4(x, bits, active, wd, wp, ov)
-            shift2 = shift - 3
-            return active & (shift2 >= 0), shift2, x, wp, wd, ov
+            em = active & (x >= thresh_raw)
+            w16 = (x & _MASK16).astype(jnp.uint16)
+            w_c0 = jnp.where(em & (ce == 0), w16, w_c0)
+            w_c1 = jnp.where(em & (ce == 1), w16, w_c1)
+            ce = ce + em.astype(jnp.int32)
+            x1 = jnp.where(em, x >> 16, x)
+            x = jnp.where(active, (x1 << 4) | bits, x)
 
-        _, _, state, wptr, words, ovf = jax.lax.while_loop(
-            chunk_cond, chunk_body, (esc, shift0, state, wptr, words, ovf)
-        )
-        # slot code: the symbol itself, or the escape slot after the chunks
-        state, words, wptr, ovf = enc_symbol(
-            state, lo, freq, valid, words, wptr, ovf
-        )
-        return (state, wptr, words, ovf), None
+        # --- slot code (the symbol itself, or the escape slot) ---
+        em_s = valid & ((x >> 16) >= freq)
+        w_s = (x & _MASK16).astype(jnp.uint16)
+        x1 = jnp.where(em_s, x >> 16, x)
+        q = x1 // freq
+        x = jnp.where(valid, (q << _PROB_BITS) + (x1 - q * freq) + start, x)
 
-    state0 = jnp.full((b, k), _RANS_L, jnp.uint32)
+        # --- one scatter for the step's <= 3 emissions; emit order is
+        # chunk words (processing order) then the slot renorm word ---
+        has0 = ce >= 1
+        has1 = ce >= 2
+        p0 = wptr
+        p1 = wptr + 1
+        ps = wptr + ce
+        flat = lane_base.reshape(-1)
+        p0, p1, ps = p0.reshape(-1), p1.reshape(-1), ps.reshape(-1)
+        pos = jnp.concatenate([
+            jnp.where(has0.reshape(-1) & (p0 < wcap), flat + p0, oob),
+            jnp.where(has1.reshape(-1) & (p1 < wcap), flat + p1, oob),
+            jnp.where(em_s.reshape(-1) & (ps < wcap), flat + ps, oob),
+        ])
+        vals = jnp.concatenate(
+            [w_c0.reshape(-1), w_c1.reshape(-1), w_s.reshape(-1)]
+        )
+        words = words.at[pos].set(vals, mode="drop")
+        new_ptr = wptr + ce + em_s.astype(jnp.int32)
+        ovf = ovf | jnp.any(new_ptr > wcap)
+        return (x, new_ptr, words, ovf), None
+
+    state0 = jnp.full((b, k), _RANS_L, u32)
     wptr0 = jnp.zeros((b, k), jnp.int32)
     words0 = jnp.zeros((b * k * wcap,), jnp.uint16)
-    ovf0 = jnp.asarray(False)
     # rANS encodes in reverse so the decoder reads forward
     (state, wptr, words, ovf), _ = jax.lax.scan(
-        step, (state0, wptr0, words0, ovf0),
-        (sym_steps, idx_steps, valid_steps), reverse=True,
+        step, (state0, wptr0, words0, pre_ovf), xs, reverse=True,
     )
+
     # flush: low word then high word (stream-order reversal puts high first,
     # matching Decoder::init's high-then-low read)
-    ones = jnp.ones((b, k), bool)
-    words, wptr, ovf = emit_word(words, wptr, state, ones, ovf)
-    words, wptr, ovf = emit_word(words, wptr, state >> 16, ones, ovf)
+    def emit_word(words, wptr, w16, ovf):
+        pos = jnp.where(wptr < wcap, lane_base + wptr, oob)
+        words = words.at[pos.reshape(-1)].set(w16.reshape(-1), mode="drop")
+        return words, wptr + 1, ovf | jnp.any(wptr >= wcap)
+
+    words, wptr, ovf = emit_word(
+        words, wptr, (state & _MASK16).astype(jnp.uint16), ovf
+    )
+    words, wptr, ovf = emit_word(
+        words, wptr, (state >> 16).astype(jnp.uint16), ovf
+    )
     return words.reshape(b, k, wcap), wptr, ovf
 
 

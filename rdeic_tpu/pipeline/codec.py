@@ -115,13 +115,17 @@ class CompressionCodec:
         # jitted program with zero mid-chain host round trips
         self.lanes = int(lanes)
         # device-side rANS ENCODE on the lanes path (symbols never leave
-        # the device; only compressed lane words cross the link). On by
-        # default with lanes; RDEIC_RANS_DEVICE_ENC=0 reverts to the host
-        # encoder; capacity overflow auto-falls-back per batch.
+        # the device; only compressed lane words cross the link).
+        # RDEIC_RANS_DEVICE_ENC=1 opts in; default is the HOST encoder:
+        # on this chip's ~40 MB/s link the ~1.2 MB/image symbol pull +
+        # host encode (~45 ms) still beats the in-jit encode scan
+        # (~69 ms/image — BENCHLOG round-4 A/B). The device path wins
+        # when the link is an order slower or host CPU is saturated;
+        # capacity overflow auto-falls-back per batch either way.
         import os  # noqa: PLC0415
 
         self.device_enc = bool(self.lanes) and (
-            os.environ.get("RDEIC_RANS_DEVICE_ENC", "1") != "0"
+            os.environ.get("RDEIC_RANS_DEVICE_ENC", "0") == "1"
         )
         scale_table = g.get_scale_table()
         self.scale_table = scale_table

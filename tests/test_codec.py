@@ -209,11 +209,12 @@ def test_device_enc_matches_host_enc(codec, monkeypatch):
     """The device-side lane encoder (default) must emit byte-identical
     containers to the host rans_encode_interleaved fallback path."""
     x = jax.random.normal(jax.random.PRNGKey(41), (2, 8, 8, 8)) * 2.0
+    monkeypatch.setenv("RDEIC_RANS_DEVICE_ENC", "1")
     dev = CompressionCodec(codec.model, codec.params, lanes=4)
     assert dev.device_enc
-    monkeypatch.setenv("RDEIC_RANS_DEVICE_ENC", "0")
+    monkeypatch.delenv("RDEIC_RANS_DEVICE_ENC")
     host = CompressionCodec(codec.model, codec.params, lanes=4)
-    assert not host.device_enc
+    assert not host.device_enc  # host encode is the measured default
     o_dev = dev.compress_batch(x)
     o_host = host.compress_batch(x)
     for a, b in zip(o_dev, o_host):

@@ -232,3 +232,13 @@ def test_device_encode_overflow_flag(table):
     syms, idxs, _ = _random_case(table, rng, n_passes=1, sizes=[256])
     outs, ovf = _device_encode(syms, idxs, 4, table, wcap=4)
     assert ovf
+
+
+def test_device_encode_wide_escape_flags_fallback(table):
+    """z >= 2^18 exceeds the 6-stage bypass pipeline (cannot happen for
+    int16-guarded codec symbols); the encoder must flag it so the codec
+    falls back to the host encoder rather than miscode."""
+    syms = [np.array([10_000_000], np.int32)]
+    idxs = [np.array([0], np.int32)]
+    outs, ovf = _device_encode(syms, idxs, 2, table)
+    assert ovf
