@@ -173,13 +173,14 @@ def main():
     # batch); per-image bitstreams stay independent
     import os as _os2
 
-    # B=24 is the measured sweet spot on one v5e for a single scan program
-    # (B=32 OOMs the decode scan by 25 MB). RDEIC_BENCH_MICRO>0 chunks the
-    # relay scan (decode_batched) so the CODEC batch can exceed the scan
-    # ceiling — entropy-program dispatch amortizes over the full batch while
-    # scan memory stays at the micro size.
-    B = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_BATCH", "24"))
-    MICRO = int(_os2.environ.get("RDEIC_BENCH_MICRO", "0")) or None
+    # B=32 codec batch + micro=16 relay-scan chunks is the measured best
+    # serving config on one v5e (BENCHLOG round 4: beats the monolithic
+    # B=24 scan in every session). RDEIC_BENCH_MICRO>0 chunks the relay
+    # scan (decode_batched) so the CODEC batch can exceed the scan
+    # ceiling — entropy-program dispatch amortizes over the full batch
+    # while scan memory stays at the micro size.
+    B = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_BATCH", "32"))
+    MICRO = int(_os2.environ.get("RDEIC_BENCH_MICRO", "16" if platform != "cpu" else "0")) or None
     imgs = jnp.tile(img01, (B, 1, 1, 1))
     paths = [str(tmp / f"b{i}.rdeic") for i in range(B)]
     fn_b = model.jitted_decode(steps=2)
@@ -203,8 +204,8 @@ def main():
     # threads — the serving configuration for a stream of images.
     # Steady-state cost/chunk ~= max(compress, decompress, scan) instead of
     # their sum (measured ~71/79/57 ms/img at chunk=24 on one v5e).
-    CH = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_CHUNK", "24"))
-    NCH = 1 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_NCHUNKS", "4"))
+    CH = 2 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_CHUNK", "32"))
+    NCH = 1 if platform == "cpu" else int(_os2.environ.get("RDEIC_BENCH_NCHUNKS", "3"))
     chunk_imgs = jnp.tile(img01, (CH, 1, 1, 1))
 
     def compress_stage(k):
