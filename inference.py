@@ -62,7 +62,7 @@ def main():
         import jax.numpy as jnp
 
         model.set_compute_dtype(jnp.bfloat16)
-    params = load_inference_params(args.ckpt)
+    params = load_inference_params(args.ckpt, cast_denoiser_bf16=args.bf16)
 
     in_path = Path(args.input)
     files = [str(in_path)] if in_path.is_file() else list_image_files(str(in_path))

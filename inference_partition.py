@@ -103,7 +103,7 @@ def main():
     model = instantiate_from_config(load_yaml(args.config))
     if args.bf16:
         model.set_compute_dtype(jnp.bfloat16)
-    params = load_inference_params(args.ckpt)
+    params = load_inference_params(args.ckpt, cast_denoiser_bf16=args.bf16)
     metrics = MetricSuite()
     psnr_f = metrics.create_metric("psnr")
     msssim_f = metrics.create_metric("ms_ssim")

@@ -261,3 +261,32 @@ def test_load_params_npz_legacy_v2(tmp_path):
     assert back["frozen"]["w"].dtype == ml_dtypes.bfloat16
     assert np.array_equal(back["frozen"]["w"].astype(np.float32),
                           vals.astype(np.float32))
+
+
+def test_load_inference_params_is_device_resident(tmp_path):
+    """Feeding host-numpy params into a jitted call re-uploads every leaf
+    on EVERY call (measured 1.6 s -> 45.7 s per full-width decode over the
+    device link) — load_inference_params must return committed device
+    arrays, with the optional bf16 cast applied BEFORE the upload."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rdeic_tpu.utils.checkpoint_io import (
+        load_inference_params,
+        save_params_npz,
+    )
+
+    tree = {"vae": {"w": np.ones((4, 4), np.float32)},
+            "compression": {"b": np.zeros((3,), np.float32)}}
+    path = str(tmp_path / "p.npz")
+    save_params_npz(path, tree)
+
+    loaded = load_inference_params(path)
+    for leaf in jax.tree_util.tree_leaves(loaded):
+        assert isinstance(leaf, jax.Array)
+
+    cast = load_inference_params(path, cast_denoiser_bf16=True)
+    assert cast["vae"]["w"].dtype == jnp.bfloat16
+    assert cast["compression"]["b"].dtype == jnp.float32  # codec stays fp32
+    for leaf in jax.tree_util.tree_leaves(cast):
+        assert isinstance(leaf, jax.Array)

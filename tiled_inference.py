@@ -52,11 +52,17 @@ def main():
                          "cross-tile context — whole-image entropy pass, "
                          "no bpp overhead at tile boundaries)")
     ap.add_argument("--seed", type=int, default=231)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 denoiser compute (TPU-native autocast)")
     args = ap.parse_args()
     apply_platform(args.platform)
 
     model = instantiate_from_config(load_yaml(args.config))
-    params = load_inference_params(args.ckpt)
+    if args.bf16:
+        import jax.numpy as jnp
+
+        model.set_compute_dtype(jnp.bfloat16)
+    params = load_inference_params(args.ckpt, cast_denoiser_bf16=args.bf16)
     mesh = make_mesh() if args.use_mesh else None
     suite = MetricSuite()
     psnr_f = suite.create_metric("psnr")
