@@ -6,6 +6,8 @@ surrounding convs under XLA.
 """
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -100,9 +102,46 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         groups = find_denominator(x.shape[-1], self.max_groups)
-        return nn.GroupNorm(
-            num_groups=groups, epsilon=self.epsilon, dtype=x.dtype
+        # name="GroupNorm_0" keeps the param path identical to the stock
+        # nn.GroupNorm child, so checkpoints/converter maps are unaffected.
+        return _FusableGroupNorm(
+            num_groups=groups, epsilon=self.epsilon, dtype=x.dtype,
+            name="GroupNorm_0",
         )(x)
+
+
+def _fused_gn_enabled() -> bool:
+    return os.environ.get("RDEIC_FUSED_GN") == "1"
+
+
+class _FusableGroupNorm(nn.GroupNorm):
+    """nn.GroupNorm that dispatches to the single-pass Pallas kernel
+    (ops/fused_groupnorm.py) when RDEIC_FUSED_GN=1, the backend is TPU and
+    the slab fits VMEM. Param creation (names, shapes, init) is inherited
+    from flax, so both paths share identical parameters.
+
+    Forward-only: the fused kernel has no custom_vjp, so training keeps the
+    flag unset (the inference/serving CLIs opt in).
+    """
+
+    @nn.compact
+    def __call__(self, x, *, mask=None):
+        from rdeic_tpu.ops import fused_groupnorm  # noqa: PLC0415
+
+        if (
+            self.is_initializing()
+            or mask is not None
+            or not _fused_gn_enabled()
+            or jax.default_backend() != "tpu"
+            or not fused_groupnorm.supported(x.shape, x.dtype)
+        ):
+            return super().__call__(x, mask=mask)
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
+        return fused_groupnorm.group_norm(
+            x, scale, bias, groups=self.num_groups, eps=self.epsilon
+        )
 
 
 def zero_init_conv(features: int, kernel: int = 1, padding: int = 0):
