@@ -98,6 +98,7 @@ class GroupNorm32(nn.Module):
 
     max_groups: int = 32
     epsilon: float = 1e-5
+    silu: bool = False  # fuse the canonical GN->SiLU pair into one pass
 
     @nn.compact
     def __call__(self, x):
@@ -106,7 +107,7 @@ class GroupNorm32(nn.Module):
         # nn.GroupNorm child, so checkpoints/converter maps are unaffected.
         return _FusableGroupNorm(
             num_groups=groups, epsilon=self.epsilon, dtype=x.dtype,
-            name="GroupNorm_0",
+            fuse_silu=self.silu, name="GroupNorm_0",
         )(x)
 
 
@@ -122,7 +123,13 @@ class _FusableGroupNorm(nn.GroupNorm):
 
     Forward-only: the fused kernel has no custom_vjp, so training keeps the
     flag unset (the inference/serving CLIs opt in).
+
+    `fuse_silu` folds the UNet's canonical GroupNorm->SiLU pair into the
+    kernel's single pass; the stock path applies jax.nn.silu after the
+    flax GroupNorm (identical math either way).
     """
+
+    fuse_silu: bool = False
 
     @nn.compact
     def __call__(self, x, *, mask=None):
@@ -135,12 +142,14 @@ class _FusableGroupNorm(nn.GroupNorm):
             or jax.default_backend() != "tpu"
             or not fused_groupnorm.supported(x.shape, x.dtype)
         ):
-            return super().__call__(x, mask=mask)
+            y = super().__call__(x, mask=mask)
+            return jax.nn.silu(y) if self.fuse_silu else y
         c = x.shape[-1]
         scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
         bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
         return fused_groupnorm.group_norm(
-            x, scale, bias, groups=self.num_groups, eps=self.epsilon
+            x, scale, bias, groups=self.num_groups, eps=self.epsilon,
+            silu=self.fuse_silu,
         )
 
 

@@ -52,15 +52,13 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
-        h = GroupNorm32(name="in_norm")(x)
-        h = jax.nn.silu(h)
+        h = GroupNorm32(name="in_norm", silu=True)(x)
         h = Conv(self.out_ch, kernel=3, dtype=self.dtype, name="in_conv")(h)
         e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_proj")(
             jax.nn.silu(emb)
         )
         h = h + e[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(name="out_norm")(h)
-        h = jax.nn.silu(h)
+        h = GroupNorm32(name="out_norm", silu=True)(h)
         h = nn.Conv(
             self.out_ch,
             (3, 3),
@@ -359,7 +357,7 @@ class UNetModel(nn.Module):
                 )
             )
         self.output_blocks = dblocks
-        self.out_norm = GroupNorm32(32, name="out_norm")
+        self.out_norm = GroupNorm32(32, silu=True, name="out_norm")
         self.out_conv = nn.Conv(
             self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
             kernel_init=nn.initializers.zeros, name="out_conv",
@@ -380,7 +378,7 @@ class UNetModel(nn.Module):
         for block in self.output_blocks:
             h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = block(h, emb, context)
-        h = jax.nn.silu(self.out_norm(h))
+        h = self.out_norm(h)  # silu fused in GroupNorm32(silu=True)
         return self.out_conv(h)
 
 
@@ -536,7 +534,7 @@ class NoiseEstimator(nn.Module):
             h_base = jnp.concatenate([h_base, skips_base.pop()], axis=-1)
             h_base = blk_b(h_base, emb_base, context)
 
-        h_base = jax.nn.silu(self.base.out_norm(h_base))
+        h_base = self.base.out_norm(h_base)  # silu fused (silu=True)
         return self.base.out_conv(h_base)
 
     def forward_unconditional(self, x, t, context):
