@@ -135,11 +135,14 @@ class _FusableGroupNorm(nn.GroupNorm):
     def __call__(self, x, *, mask=None):
         from rdeic_tpu.ops import fused_groupnorm  # noqa: PLC0415
 
+        # RDEIC_FUSED_GN_INTERPRET=1 exercises the fused dispatch on CPU
+        # via the Pallas interpreter (tests only).
+        interpret = os.environ.get("RDEIC_FUSED_GN_INTERPRET") == "1"
         if (
             self.is_initializing()
             or mask is not None
             or not _fused_gn_enabled()
-            or jax.default_backend() != "tpu"
+            or (jax.default_backend() != "tpu" and not interpret)
             or not fused_groupnorm.supported(x.shape, x.dtype)
         ):
             y = super().__call__(x, mask=mask)
@@ -149,7 +152,7 @@ class _FusableGroupNorm(nn.GroupNorm):
         bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
         return fused_groupnorm.group_norm(
             x, scale, bias, groups=self.num_groups, eps=self.epsilon,
-            silu=self.fuse_silu,
+            silu=self.fuse_silu, interpret=interpret,
         )
 
 

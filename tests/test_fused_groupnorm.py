@@ -78,3 +78,21 @@ def test_groupnorm32_fused_flag_param_paths(monkeypatch):
     del leaf_paths
     flagged = mod.apply(params2, x)  # CPU backend -> stock path
     np.testing.assert_allclose(np.asarray(flagged), np.asarray(base))
+
+
+def test_groupnorm32_fused_dispatch_interpret(monkeypatch):
+    """With RDEIC_FUSED_GN=1 + the interpret escape hatch, GroupNorm32
+    dispatches through the Pallas kernel and matches the stock path,
+    including the fused SiLU epilogue."""
+    from rdeic_tpu.models.blocks import GroupNorm32
+
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 4, 8, 128)).astype(np.float32))
+    mod = GroupNorm32(silu=True)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    stock = mod.apply(params, x)
+    monkeypatch.setenv("RDEIC_FUSED_GN", "1")
+    monkeypatch.setenv("RDEIC_FUSED_GN_INTERPRET", "1")
+    fused = mod.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(stock), atol=1e-5, rtol=1e-5)
