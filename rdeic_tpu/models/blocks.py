@@ -121,8 +121,8 @@ class _FusableGroupNorm(nn.GroupNorm):
     the slab fits VMEM. Param creation (names, shapes, init) is inherited
     from flax, so both paths share identical parameters.
 
-    Forward-only: the fused kernel has no custom_vjp, so training keeps the
-    flag unset (the inference/serving CLIs opt in).
+    Differentiable (custom_vjp single-pass backward), so training runs may
+    opt in too; the flag defaults off so stock XLA remains the baseline.
 
     `fuse_silu` folds the UNet's canonical GroupNorm->SiLU pair into the
     kernel's single pass; the stock path applies jax.nn.silu after the

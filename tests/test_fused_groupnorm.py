@@ -51,6 +51,35 @@ def test_silu_fusion():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.parametrize("silu", [False, True])
+def test_gradient_matches_flax(silu):
+    """custom_vjp backward (dx, dscale, dbias) vs jax.grad through the
+    stock flax GroupNorm(+SiLU)."""
+    rng = np.random.default_rng(4)
+    shape, groups, c = (2, 4, 8, 128), 32, 128
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32) * 2 + 0.5)
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    def fused(x, s, b):
+        y = fused_groupnorm.group_norm(
+            x, s, b, groups=groups, interpret=True, silu=silu)
+        return jnp.sum(y * cot)
+
+    def stock(x, s, b):
+        y = _ref(x, s, b, groups, 1e-5)
+        if silu:
+            y = jax.nn.silu(y)
+        return jnp.sum(y * cot)
+
+    g_f = jax.grad(fused, argnums=(0, 1, 2))(x, scale, bias)
+    g_s = jax.grad(stock, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g_f, g_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4)
+
+
 def test_supported_guard():
     assert fused_groupnorm.supported((2, 8, 16, 128), jnp.bfloat16)
     # VAE full-res slab: too big for VMEM -> must fall back
