@@ -129,6 +129,52 @@ def main():
     tmp = Path(tempfile.mkdtemp())
     stream = str(tmp / "bench.rdeic")
 
+    # --- always emit a result line, even if the harness times us out ---
+    # The driver gives the bench a finite wall clock; a cold compile cache
+    # through the tunnel can eat most of it (746 s observed). Stages feed
+    # `stage_ms` as they finish; the budget gates later stages, and a
+    # SIGTERM/SIGINT from an outer `timeout` prints the best-so-far value
+    # instead of dying with no output.
+    import os as _osb
+    import signal
+
+    budget_s = float(_osb.environ.get("RDEIC_BENCH_BUDGET_S", "2100"))
+    t_start = time.time()
+    stage_ms: list[float] = []
+    _emitted = {"done": False}
+
+    def emit():
+        if _emitted["done"]:
+            return
+        _emitted["done"] = True
+        value = float(min(stage_ms)) if stage_ms else -1.0
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(value, 2),
+                    "unit": "ms/image",
+                    "vs_baseline": None,
+                    "backend": backend_stamp,
+                }
+            ),
+            flush=True,
+        )
+
+    def _on_term(sig, frm):
+        log(f"signal {sig}: emitting best-so-far result and exiting")
+        emit()
+        _osb._exit(0)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(_sig, _on_term)
+        except Exception:
+            pass
+
+    def remaining() -> float:
+        return budget_s - (time.time() - t_start)
+
     def once(rng):
         bpp = model.apply_condition_compress(params, img01, stream, H, W)
         c_latent, guide_hint = model.apply_condition_decompress(params, stream)
@@ -149,6 +195,7 @@ def main():
         once(jax.random.PRNGKey(2 + i))
         lat.append((time.time() - t0) * 1000)
     log(f"single-image latency ms: {['%.0f' % t for t in lat]}")
+    stage_ms.append(float(np.median(lat)))
 
     # pipelined throughput: overlap host entropy coding / tunnel syncs of one
     # image with device compute of another (the serving configuration)
@@ -168,6 +215,13 @@ def main():
         list(ex.map(one_image, range(n_imgs)))
     pipelined = (time.time() - t0) * 1000 / n_imgs
     log(f"pipelined ms/image over {n_imgs} images: {pipelined:.0f}")
+    stage_ms.append(float(pipelined))
+
+    if remaining() < 300:
+        log(f"budget low ({remaining():.0f}s left): skipping batched/"
+            "chunked stages")
+        emit()
+        return
 
     # batched path: B images per entropy-program execution (Kodak-style
     # batch); per-image bitstreams stay independent
@@ -198,6 +252,12 @@ def main():
     batched_run()
     batched = (time.time() - t0) * 1000 / B
     log(f"batched ms/image (B={B}): {batched:.0f}")
+    stage_ms.append(float(batched))
+
+    if remaining() < 240:
+        log(f"budget low ({remaining():.0f}s left): skipping chunked stage")
+        emit()
+        return
 
     # 3-stage pipelined serving path: compress (chunk k+2), decompress
     # (chunk k+1), and the decode scan (chunk k) overlap on separate
@@ -242,11 +302,15 @@ def main():
     chunked_run()
     chunked = (time.time() - t0) * 1000 / (CH * NCH)
     log(f"pipelined-3stage ms/image (chunk={CH} x {NCH}): {chunked:.0f}")
-    value = float(min(np.median(lat), pipelined, batched, chunked))
+    stage_ms.append(float(chunked))
 
     # MFU of the 2-step relay decode scan (XLA flop count vs v5e bf16
     # peak), measured at the scan batch the serving path actually runs
     # (the micro chunk when RDEIC_BENCH_MICRO is set)
+    if remaining() < 90:
+        log(f"budget low ({remaining():.0f}s left): skipping MFU probe")
+        emit()
+        return
     try:
         cl, gh = model.apply_condition_decompress_batch(params, paths)
         sb = min(MICRO or B, B)
@@ -272,17 +336,7 @@ def main():
     except Exception as e:
         log(f"cost_analysis unavailable: {e}")
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 2),
-                "unit": "ms/image",
-                "vs_baseline": None,
-                "backend": backend_stamp,
-            }
-        )
-    )
+    emit()
 
 
 if __name__ == "__main__":

@@ -43,3 +43,23 @@ def test_forced_fallback_stamps_backend(monkeypatch, capfd):
     assert rec["backend"] == "cpu-fallback"
     assert rec["metric"].startswith("cpu_smoke")
     assert rec["value"] > 0
+
+
+def test_budget_exhausted_still_emits(monkeypatch, capfd):
+    """With the wall-clock budget at zero, later stages are skipped and the
+    JSON line still carries the best early-stage measurement — the driver
+    must never record an empty bench."""
+    monkeypatch.setenv("RDEIC_BENCH_FORCE_CPU", "1")
+    monkeypatch.delenv("RDEIC_BENCH_SKIP_PROBE", raising=False)
+    monkeypatch.setenv("RDEIC_RANS_LANES", "0")
+    monkeypatch.setenv("RDEIC_BENCH_BUDGET_S", "0")
+    old = sys.argv
+    try:
+        sys.argv = ["bench.py"]
+        runpy.run_path(str(REPO / "bench.py"), run_name="__main__")
+    finally:
+        sys.argv = old
+    cap = capfd.readouterr()
+    rec = json.loads(cap.out.strip().splitlines()[-1])
+    assert rec["value"] > 0
+    assert "skipping batched" in cap.err
