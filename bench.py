@@ -141,30 +141,39 @@ def main():
     budget_s = float(_osb.environ.get("RDEIC_BENCH_BUDGET_S", "2100"))
     t_start = time.time()
     stage_ms: list[float] = []
+    # secondary measurements (single-image latency, per-stage numbers,
+    # decode-scan MFU) ride along in the same JSON line so driver captures
+    # stop losing them to stderr-only prose (round-4 verdict #4)
+    extras: dict[str, float] = {}
     _emitted = {"done": False}
 
-    def emit():
+    def emit(interrupted: bool = False):
         if _emitted["done"]:
             return
         _emitted["done"] = True
-        value = float(min(stage_ms)) if stage_ms else -1.0
-        print(
-            json.dumps(
-                {
-                    "metric": metric,
-                    "value": round(value, 2),
-                    "unit": "ms/image",
-                    "vs_baseline": None,
-                    "backend": backend_stamp,
-                }
-            ),
-            flush=True,
-        )
+        # value stays null (never a -1 sentinel) when no stage finished, so
+        # parsers cannot ingest a fake negative latency (advisor round 4)
+        value = round(float(min(stage_ms)), 2) if stage_ms else None
+        row = {
+            "metric": metric,
+            "value": value,
+            "unit": "ms/image",
+            "vs_baseline": None,
+            "backend": backend_stamp,
+            **{k: round(v, 2) for k, v in extras.items()},
+        }
+        if interrupted or not stage_ms:
+            row["partial"] = True
+        if interrupted:
+            row["interrupted"] = True
+        print(json.dumps(row), flush=True)
 
     def _on_term(sig, frm):
         log(f"signal {sig}: emitting best-so-far result and exiting")
-        emit()
-        _osb._exit(0)
+        emit(interrupted=True)
+        # nonzero exit: a truncated run must be distinguishable from a
+        # clean one for shell scripting (advisor round 4)
+        _osb._exit(128 + int(sig))
 
     for _sig in (signal.SIGTERM, signal.SIGINT):
         try:
@@ -196,6 +205,7 @@ def main():
         lat.append((time.time() - t0) * 1000)
     log(f"single-image latency ms: {['%.0f' % t for t in lat]}")
     stage_ms.append(float(np.median(lat)))
+    extras["single_image_ms"] = float(np.median(lat))
 
     # pipelined throughput: overlap host entropy coding / tunnel syncs of one
     # image with device compute of another (the serving configuration)
@@ -216,6 +226,7 @@ def main():
     pipelined = (time.time() - t0) * 1000 / n_imgs
     log(f"pipelined ms/image over {n_imgs} images: {pipelined:.0f}")
     stage_ms.append(float(pipelined))
+    extras["pipelined_ms"] = float(pipelined)
 
     if remaining() < 300:
         log(f"budget low ({remaining():.0f}s left): skipping batched/"
@@ -253,6 +264,7 @@ def main():
     batched = (time.time() - t0) * 1000 / B
     log(f"batched ms/image (B={B}): {batched:.0f}")
     stage_ms.append(float(batched))
+    extras["batched_ms"] = float(batched)
 
     if remaining() < 240:
         log(f"budget low ({remaining():.0f}s left): skipping chunked stage")
@@ -303,6 +315,7 @@ def main():
     chunked = (time.time() - t0) * 1000 / (CH * NCH)
     log(f"pipelined-3stage ms/image (chunk={CH} x {NCH}): {chunked:.0f}")
     stage_ms.append(float(chunked))
+    extras["pipelined3_ms"] = float(chunked)
 
     # MFU of the 2-step relay decode scan (XLA flop count vs v5e bf16
     # peak), measured at the scan batch the serving path actually runs
@@ -328,11 +341,14 @@ def main():
                 fn_b(params, cl_s, gh_s, jax.random.PRNGKey(8))
             )
             dt = time.time() - t0
+            mfu_pct = 100 * flops / dt / 197e12
             log(
                 f"decode scan (B={sb}): {flops/1e12:.2f} TFLOP, "
                 f"{dt*1000:.0f} ms, "
-                f"MFU {100*flops/dt/197e12:.1f}% of v5e bf16 peak"
+                f"MFU {mfu_pct:.1f}% of v5e bf16 peak"
             )
+            if platform != "cpu":
+                extras["decode_scan_mfu_pct"] = float(mfu_pct)
     except Exception as e:
         log(f"cost_analysis unavailable: {e}")
 

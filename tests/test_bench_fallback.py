@@ -45,6 +45,48 @@ def test_forced_fallback_stamps_backend(monkeypatch, capfd):
     assert rec["value"] > 0
 
 
+def test_sigterm_mid_run_is_distinguishable():
+    """A SIGTERM'd bench must exit nonzero (128+sig) and stamp
+    interrupted:true; an empty run must carry value null, never a -1
+    sentinel (advisor round 4)."""
+    import os
+    import signal
+    import subprocess
+    import time
+
+    env = dict(os.environ)
+    env.update({"RDEIC_BENCH_FORCE_CPU": "1", "RDEIC_RANS_LANES": "0"})
+    env.pop("RDEIC_BENCH_SKIP_PROBE", None)
+    proc = subprocess.Popen(
+        [sys.executable, str(REPO / "bench.py")],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        cwd=str(REPO),
+    )
+    # wait for the handler-installed marker so the signal cannot land
+    # before bench.py has registered its SIGTERM hook; keep draining
+    # stderr afterwards or the child dies on a full/closed pipe instead
+    # of in its signal handler
+    import threading
+
+    seen = threading.Event()
+
+    def _drain():
+        for line in proc.stderr:
+            if b"warmup" in line:
+                seen.set()
+
+    threading.Thread(target=_drain, daemon=True).start()
+    assert seen.wait(300), "bench.py never reached warmup"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 128 + signal.SIGTERM
+    rec = json.loads(out.decode().strip().splitlines()[-1])
+    assert rec["interrupted"] is True
+    assert rec["partial"] is True
+    # either a real early-stage number or an explicit null — never -1
+    assert rec["value"] is None or rec["value"] > 0
+
+
 def test_budget_exhausted_still_emits(monkeypatch, capfd):
     """With the wall-clock budget at zero, later stages are skipped and the
     JSON line still carries the best early-stage measurement — the driver
