@@ -111,8 +111,19 @@ class GroupNorm32(nn.Module):
         )(x)
 
 
-def _fused_gn_enabled() -> bool:
-    return os.environ.get("RDEIC_FUSED_GN") == "1"
+def _fused_gn_mode() -> str | None:
+    """RDEIC_FUSED_GN: "1"/"hybrid" -> stock XLA forward + Pallas backward
+    (the measured winner on the v5e: the Pallas backward is 1.4-6x faster
+    per shape while XLA's in-situ forward fusion beats the Pallas forward
+    — tools/gn_bench.py round-5 sweep); "full" -> Pallas both directions
+    (single-visit forward, for forward-dominated experiments); unset/0 ->
+    stock flax."""
+    v = os.environ.get("RDEIC_FUSED_GN", "")
+    if v in ("1", "hybrid"):
+        return "hybrid"
+    if v == "full":
+        return "full"
+    return None
 
 
 class _FusableGroupNorm(nn.GroupNorm):
@@ -138,10 +149,11 @@ class _FusableGroupNorm(nn.GroupNorm):
         # RDEIC_FUSED_GN_INTERPRET=1 exercises the fused dispatch on CPU
         # via the Pallas interpreter (tests only).
         interpret = os.environ.get("RDEIC_FUSED_GN_INTERPRET") == "1"
+        mode = _fused_gn_mode()
         if (
             self.is_initializing()
             or mask is not None
-            or not _fused_gn_enabled()
+            or mode is None
             or (jax.default_backend() != "tpu" and not interpret)
             or not fused_groupnorm.supported(x.shape, x.dtype)
         ):
@@ -150,7 +162,9 @@ class _FusableGroupNorm(nn.GroupNorm):
         c = x.shape[-1]
         scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
         bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
-        return fused_groupnorm.group_norm(
+        fn = (fused_groupnorm.group_norm_hybrid if mode == "hybrid"
+              else fused_groupnorm.group_norm)
+        return fn(
             x, scale, bias, groups=self.num_groups, eps=self.epsilon,
             silu=self.fuse_silu, interpret=interpret,
         )
