@@ -85,6 +85,26 @@ def load_library() -> ctypes.CDLL:
         i32p, i32p, i32p, ctypes.c_int, ctypes.c_int,
         u8p, ctypes.c_int, i32p,
     ]
+    # v2 shared-stream interleaved format
+    lib.rans_lanes_to_shared.restype = ctypes.c_int
+    lib.rans_lanes_to_shared.argtypes = [
+        u8p, i32p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
+        i32p, i32p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
+    ]
+    lib.rans_encode_interleaved_shared.restype = ctypes.c_int
+    lib.rans_encode_interleaved_shared.argtypes = [
+        i32p, i32p, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, i32p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
+    ]
+    lib.rans_shared_decoder_new.restype = ctypes.c_void_p
+    lib.rans_shared_decoder_new.argtypes = [u8p, ctypes.c_int, ctypes.c_int]
+    lib.rans_shared_decoder_free.restype = None
+    lib.rans_shared_decoder_free.argtypes = [ctypes.c_void_p]
+    lib.rans_shared_decode_pass.restype = ctypes.c_int
+    lib.rans_shared_decode_pass.argtypes = [
+        ctypes.c_void_p, i32p, ctypes.c_int, i32p, i32p, i32p,
+        ctypes.c_int, ctypes.c_int, i32p,
+    ]
     lib.rans_build_lut.restype = None
     lib.rans_build_lut.argtypes = [i32p, i32p, ctypes.c_int, ctypes.c_int, u16p]
     lib.rans_decode_stream_lut.restype = ctypes.c_int

@@ -157,6 +157,109 @@ def rans_encode_interleaved(symbols, indexes, pass_sizes, lanes: int,
     raise RuntimeError("rans_encode_interleaved: capacity growth failed")
 
 
+def rans_encode_interleaved_shared(symbols, indexes, pass_sizes, lanes: int,
+                                   table: CdfTable) -> bytes:
+    """v2 shared-stream interleaved encode: same striping and per-symbol
+    code as rans_encode_interleaved, but all lanes' renorm words merge
+    into ONE stream ordered by the vector decoder's pull schedule — no
+    per-lane size table in the container (~4 bytes/lane saved)."""
+    lib = load_library()
+    s = _as_i32(symbols).reshape(-1)
+    i = _as_i32(indexes).reshape(-1)
+    p = _as_i32(pass_sizes).reshape(-1)
+    if s.shape != i.shape:
+        raise ValueError("symbols/indexes length mismatch")
+    if int(p.sum()) != s.shape[0]:
+        raise ValueError("pass_sizes must sum to the symbol count")
+    n = s.shape[0]
+    capacity = max(n * 8 + 8 * lanes + 64, 1024)
+    for _ in range(4):
+        out = np.empty(capacity, dtype=np.uint8)
+        nbytes = lib.rans_encode_interleaved_shared(
+            _ptr_i32(s), _ptr_i32(i), n, _ptr_i32(p), p.shape[0], lanes,
+            _ptr_i32(table.cdf), _ptr_i32(table.length), _ptr_i32(table.offset),
+            table.ncdfs, table.max_len,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), capacity,
+        )
+        if nbytes >= 0:
+            return out[:nbytes].tobytes()
+        if nbytes == -2:
+            raise ValueError("bad args in rans_encode_interleaved_shared")
+        if nbytes == -3:
+            raise RuntimeError(
+                "rans_lanes_to_shared: schedule/lane mismatch (internal)")
+        capacity *= 4
+    raise RuntimeError("rans_encode_interleaved_shared: capacity failed")
+
+
+def rans_lanes_to_shared(lane_payload: bytes, lane_nbytes, indexes,
+                         pass_sizes, table: CdfTable) -> bytes:
+    """Merge already-encoded v1 per-lane streams (e.g. from the DEVICE
+    encoder) into a v2 shared stream; symbols are not needed — the merge
+    replays the decode pull schedule against the lane queues."""
+    lib = load_library()
+    ln = _as_i32(lane_nbytes).reshape(-1)
+    i = _as_i32(indexes).reshape(-1)
+    p = _as_i32(pass_sizes).reshape(-1)
+    lanes_arr = np.frombuffer(lane_payload, np.uint8)
+    capacity = max(len(lane_payload) + 16, 64)
+    out = np.empty(capacity, dtype=np.uint8)
+    nbytes = lib.rans_lanes_to_shared(
+        lanes_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr_i32(ln), ln.shape[0], _ptr_i32(i), i.shape[0],
+        _ptr_i32(p), p.shape[0],
+        _ptr_i32(table.cdf), _ptr_i32(table.length),
+        table.ncdfs, table.max_len,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), capacity,
+    )
+    if nbytes < 0:
+        raise RuntimeError(f"rans_lanes_to_shared failed: {nbytes}")
+    return out[:nbytes].tobytes()
+
+
+class SharedRansDecoder:
+    """Host decoder for v2 shared-stream interleaved containers: persistent
+    lane states across passes, pull order identical to the device's
+    decode_pass_shared (and to the C++ merge that wrote the stream)."""
+
+    def __init__(self, stream: bytes, lanes: int):
+        self._lib = load_library()
+        buf = np.frombuffer(stream, dtype=np.uint8)
+        self._buf = buf  # keep alive
+        self._dec = self._lib.rans_shared_decoder_new(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.shape[0], lanes,
+        )
+
+    def decode_pass(self, indexes, table: CdfTable) -> np.ndarray:
+        if self._dec is None:
+            raise RuntimeError("decoder closed")
+        i = _as_i32(indexes)
+        shape = i.shape
+        i = i.reshape(-1)
+        out = np.empty(i.shape[0], dtype=np.int32)
+        rc = self._lib.rans_shared_decode_pass(
+            self._dec, _ptr_i32(i), i.shape[0],
+            _ptr_i32(table.cdf), _ptr_i32(table.length),
+            _ptr_i32(table.offset), table.ncdfs, table.max_len,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise ValueError(f"rans_shared_decode_pass failed: {rc}")
+        return out.reshape(shape)
+
+    def close(self):
+        if self._dec is not None:
+            self._lib.rans_shared_decoder_free(self._dec)
+            self._dec = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 class RansDecoder:
     """Persistent-stream decoder: set_stream once, decode_stream repeatedly."""
 

@@ -431,4 +431,279 @@ int rans_decode_with_indexes(const uint8_t* stream, int nbytes,
                             max_len, out);
 }
 
+// ===========================================================================
+// v2 "shared-stream" interleaved format.
+//
+// v1 (rans_encode_interleaved) stores K per-lane streams back to back and
+// needs a 4-byte size PER LANE in the container header — ~0.5 KB of pure
+// overhead at K=128, which is what makes device decode rate-expensive at
+// extreme-compression payloads. v2 merges all lanes' renorm words into ONE
+// stream, ordered exactly as the lock-step vector decoder pulls them, so
+// the container needs only K itself (the per-symbol code is unchanged and
+// still bit-identical to the scalar coder).
+//
+// The merge is exact because every encoder primitive (enc_symbol,
+// enc_raw(4)) emits AT MOST ONE word (a single 16-bit shift always drops
+// the state below the next threshold), so the decoder conjugate needs at
+// most one pull per primitive, at a position derivable without ambiguity.
+// The global pull order is the vector decoder's phase order per step t:
+//   phase A: lanes 0..K-1 symbol-advance renorm pulls;
+//   phase B: bypass-chunk iterations j = 0,1,...: lanes still in their
+//            escape chain pull after each 4-bit shift.
+// (The init pulls — two words per lane, lane-major — sit at the head.)
+// Mirrored by entropy/device_rans.decode_pass_shared on TPU.
+// ===========================================================================
+
+}  // extern "C"  (the v2 helpers below use templates)
+
+namespace {
+
+struct LaneCursor {
+  const uint8_t* p = nullptr;
+  int nbytes = 0;
+  int pos = 0;
+  uint16_t read16() {
+    if (pos + 2 > nbytes) {
+      pos += 2;  // advance-and-zero-fill (matches the device's masked pull)
+      return 0;
+    }
+    uint16_t w = static_cast<uint16_t>(p[pos]) |
+                 (static_cast<uint16_t>(p[pos + 1]) << 8);
+    pos += 2;
+    return w;
+  }
+  bool fully_consumed() const { return pos == nbytes; }
+};
+
+// Walk the vector-decode schedule over per-lane word queues; `emit` is
+// called for every pulled word in global order. Returns 0, or -2 on bad
+// args. Shared by the merge (emit = append) and nothing else — the shared
+// DECODER below duplicates the walk against one stream because its reads
+// mutate decoder state.
+template <typename Emit>
+int walk_schedule(LaneCursor* cur, uint32_t* x, int K, const int32_t* indexes,
+                  const int32_t* pass_sizes, int npass, const int32_t* cdfs,
+                  const int32_t* cdf_lengths, int ncdfs, int max_len,
+                  Emit&& emit) {
+  std::vector<uint8_t> esc(K);
+  std::vector<int> zshift(K);
+  int g = 0;
+  for (int p = 0; p < npass; ++p) {
+    const int np = pass_sizes[p];
+    const int T = (np + K - 1) / K;
+    for (int t = 0; t < T; ++t) {
+      const int kmax = np - t * K < K ? np - t * K : K;
+      // phase A: symbol advance + conditional renorm pull, lane order
+      for (int k = 0; k < kmax; ++k) {
+        const int32_t idx = indexes[g + t * K + k];
+        if (idx < 0 || idx >= ncdfs) return -2;
+        const int32_t* cdf = cdfs + static_cast<size_t>(idx) * max_len;
+        const int len = cdf_lengths[idx];
+        const uint32_t cum = x[k] & 0xffff;
+        const int s = cdf_find(cdf, len, cum);
+        const uint32_t freq = cdf[s + 1] - cdf[s];
+        x[k] = freq * (x[k] >> kProbBits) + cum - cdf[s];
+        if (x[k] < kRansL) {
+          const uint16_t w = cur[k].read16();
+          x[k] = (x[k] << 16) | w;
+          emit(w);
+        }
+        esc[k] = (s == len - 2);
+        zshift[k] = 0;
+      }
+      // phase B: bypass-chunk iterations across the still-active lanes
+      bool any = false;
+      for (int k = 0; k < kmax; ++k) any |= (esc[k] != 0);
+      while (any) {
+        any = false;
+        for (int k = 0; k < kmax; ++k) {
+          if (!esc[k]) continue;
+          const uint32_t bits = x[k] & 0xf;
+          x[k] >>= 4;
+          if (x[k] < kRansL) {
+            const uint16_t w = cur[k].read16();
+            x[k] = (x[k] << 16) | w;
+            emit(w);
+          }
+          zshift[k] += 3;
+          esc[k] = ((bits & 8) != 0) && zshift[k] <= 30;
+          any |= (esc[k] != 0);
+        }
+      }
+    }
+    g += np;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Merge v1 per-lane streams into one v2 shared stream (same total bytes;
+// the container drops its per-lane size table). Returns bytes written,
+// -1 if capacity is too small, -2 on bad args, -3 if the schedule failed
+// to consume every lane exactly (internal invariant; cannot happen for
+// well-formed v1 output with matching indexes/pass_sizes).
+int rans_lanes_to_shared(const uint8_t* lanes, const int32_t* lane_nbytes,
+                         int K, const int32_t* indexes, int n,
+                         const int32_t* pass_sizes, int npass,
+                         const int32_t* cdfs, const int32_t* cdf_lengths,
+                         int ncdfs, int max_len, uint8_t* out, int capacity) {
+  if (K <= 0 || npass < 0) return -2;
+  {
+    int64_t total = 0;
+    for (int p = 0; p < npass; ++p) total += pass_sizes[p];
+    if (total != n) return -2;
+  }
+  std::vector<LaneCursor> cur(K);
+  {
+    int off = 0;
+    for (int k = 0; k < K; ++k) {
+      cur[k].p = lanes + off;
+      cur[k].nbytes = lane_nbytes[k];
+      off += lane_nbytes[k];
+    }
+  }
+  std::vector<uint16_t> merged;
+  merged.reserve(static_cast<size_t>(n) / 2 + 2 * K);
+  std::vector<uint32_t> x(K);
+  // init: two flush words per lane, lane-major, at the stream head
+  for (int k = 0; k < K; ++k) {
+    const uint16_t hi = cur[k].read16();
+    const uint16_t lo = cur[k].read16();
+    x[k] = (static_cast<uint32_t>(hi) << 16) | lo;
+    merged.push_back(hi);
+    merged.push_back(lo);
+  }
+  const int rc = walk_schedule(
+      cur.data(), x.data(), K, indexes, pass_sizes, npass, cdfs, cdf_lengths,
+      ncdfs, max_len, [&](uint16_t w) { merged.push_back(w); });
+  if (rc != 0) return rc;
+  for (int k = 0; k < K; ++k)
+    if (!cur[k].fully_consumed()) return -3;
+  const int nbytes = static_cast<int>(merged.size() * 2);
+  if (nbytes > capacity) return -1;
+  uint8_t* o = out;
+  for (const uint16_t w : merged) {
+    *o++ = static_cast<uint8_t>(w & 0xff);
+    *o++ = static_cast<uint8_t>(w >> 8);
+  }
+  return nbytes;
+}
+
+// Encode straight into the v2 shared format (v1 encode + merge).
+int rans_encode_interleaved_shared(
+    const int32_t* symbols, const int32_t* indexes, int n,
+    const int32_t* pass_sizes, int npass, int K, const int32_t* cdfs,
+    const int32_t* cdf_lengths, const int32_t* offsets, int ncdfs,
+    int max_len, uint8_t* out, int capacity) {
+  std::vector<uint8_t> scratch(static_cast<size_t>(capacity) + 8 * K + 64);
+  std::vector<int32_t> lane_nbytes(K);
+  const int w = rans_encode_interleaved(
+      symbols, indexes, n, pass_sizes, npass, K, cdfs, cdf_lengths, offsets,
+      ncdfs, max_len, scratch.data(), static_cast<int>(scratch.size()),
+      lane_nbytes.data());
+  if (w < 0) return w;
+  return rans_lanes_to_shared(scratch.data(), lane_nbytes.data(), K, indexes,
+                              n, pass_sizes, npass, cdfs, cdf_lengths, ncdfs,
+                              max_len, out, capacity);
+}
+
+// --- host decoder for v2 streams (persistent across passes, so the codec
+// can interleave entropy-parameter programs between decode calls) ---------
+namespace {
+
+struct SharedDecoder {
+  std::vector<uint8_t> stream;
+  size_t pos = 0;
+  int K = 0;
+  std::vector<uint32_t> x;
+
+  uint16_t read16() {
+    if (pos + 2 > stream.size()) {
+      pos += 2;  // advance-and-zero-fill (identical to the device pull)
+      return 0;
+    }
+    uint16_t w = static_cast<uint16_t>(stream[pos]) |
+                 (static_cast<uint16_t>(stream[pos + 1]) << 8);
+    pos += 2;
+    return w;
+  }
+};
+
+}  // namespace
+
+void* rans_shared_decoder_new(const uint8_t* stream, int nbytes, int K) {
+  auto* d = new SharedDecoder();
+  d->stream.assign(stream, stream + nbytes);
+  d->K = K;
+  d->x.resize(K);
+  for (int k = 0; k < K; ++k)
+    d->x[k] = (static_cast<uint32_t>(d->read16()) << 16) | d->read16();
+  return d;
+}
+
+void rans_shared_decoder_free(void* dec) {
+  delete static_cast<SharedDecoder*>(dec);
+}
+
+// Decode one pass of n symbols (striped lane = j % K) from the shared
+// stream. Pull order mirrors walk_schedule / decode_pass_shared exactly.
+int rans_shared_decode_pass(void* dec, const int32_t* indexes, int n,
+                            const int32_t* cdfs, const int32_t* cdf_lengths,
+                            const int32_t* offsets, int ncdfs, int max_len,
+                            int32_t* out) {
+  SharedDecoder* d = static_cast<SharedDecoder*>(dec);
+  const int K = d->K;
+  std::vector<uint8_t> esc(K);
+  std::vector<int> zshift(K);
+  std::vector<uint32_t> z(K);
+  std::vector<int64_t> maxv(K);
+  const int T = (n + K - 1) / K;
+  for (int t = 0; t < T; ++t) {
+    const int kmax = n - t * K < K ? n - t * K : K;
+    for (int k = 0; k < kmax; ++k) {
+      const int32_t idx = indexes[t * K + k];
+      if (idx < 0 || idx >= ncdfs) return -2;
+      const int32_t* cdf = cdfs + static_cast<size_t>(idx) * max_len;
+      const int len = cdf_lengths[idx];
+      const int64_t max_value = len - 2;
+      const uint32_t cum = d->x[k] & 0xffff;
+      const int s = cdf_find(cdf, len, cum);
+      const uint32_t freq = cdf[s + 1] - cdf[s];
+      d->x[k] = freq * (d->x[k] >> kProbBits) + cum - cdf[s];
+      if (d->x[k] < kRansL) d->x[k] = (d->x[k] << 16) | d->read16();
+      esc[k] = (s == max_value);
+      zshift[k] = 0;
+      z[k] = 0;
+      maxv[k] = max_value;
+      out[t * K + k] = static_cast<int32_t>(s + offsets[idx]);
+    }
+    bool any = false;
+    for (int k = 0; k < kmax; ++k) any |= (esc[k] != 0);
+    std::vector<uint8_t> in_chain(esc.begin(), esc.end());
+    while (any) {
+      any = false;
+      for (int k = 0; k < kmax; ++k) {
+        if (!in_chain[k]) continue;
+        const uint32_t bits = d->x[k] & 0xf;
+        d->x[k] >>= 4;
+        if (d->x[k] < kRansL) d->x[k] = (d->x[k] << 16) | d->read16();
+        z[k] |= (bits & 7) << zshift[k];
+        zshift[k] += 3;
+        in_chain[k] = ((bits & 8) != 0) && zshift[k] <= 30;
+        any |= (in_chain[k] != 0);
+      }
+    }
+    for (int k = 0; k < kmax; ++k) {
+      if (!esc[k]) continue;
+      const int32_t idx = indexes[t * K + k];
+      out[t * K + k] = static_cast<int32_t>(
+          unzigzag_escape(z[k], maxv[k]) + offsets[idx]);
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -192,6 +192,123 @@ def decode_pass(tables: DeviceRansTables, words, nwords, state, ptr, idx,
 
 
 # ---------------------------------------------------------------------------
+# v2 "shared-stream" lane format: all K lanes renormalize from ONE word
+# stream, in the fixed phase order the scan below executes (symbol pulls
+# lane-major, then bypass-chunk iterations lane-major). The C++ encoder's
+# merge (csrc/rans.cpp rans_lanes_to_shared) wrote the words in exactly
+# this order, so each lane's next word sits at ptr + (number of
+# lower-numbered lanes pulling this phase) — an exclusive cumsum over the
+# lane axis. Rate win vs the v1 per-lane layout: the container no longer
+# stores K lane sizes (~4 bytes/lane) and lanes share the stream tail.
+# ---------------------------------------------------------------------------
+
+
+def shared_words_from_bytes(payload: bytes):
+    """Shared-stream payload bytes -> (words [W] uint32 u16-words, count)."""
+    arr = np.frombuffer(payload, np.uint8)
+    n = arr.shape[0] // 2
+    a = arr[: n * 2].astype(np.uint32)
+    return a[0::2] | (a[1::2] << 8), n
+
+
+def init_shared_state(words, nwords, k: int):
+    """Mirror rans_shared_decoder_new: lane k's state = words[2k] (high)
+    then words[2k+1] (low); words/nwords may carry leading batch dims."""
+    head = words[..., : 2 * k].astype(jnp.uint32)
+    # words past the stream end must read as zero-fill
+    avail = jnp.arange(2 * k, dtype=jnp.int32) < nwords[..., None]
+    head = jnp.where(avail, head, 0)
+    state = (head[..., 0::2] << 16) | head[..., 1::2]
+    ptr = jnp.full(nwords.shape, 2 * k, jnp.int32)
+    return state, ptr
+
+
+def decode_pass_shared(tables: DeviceRansTables, words, nwords, state, ptr,
+                       idx, n_valid: int):
+    """decode_pass for v2 shared-stream containers.
+
+    words:  [..., W] uint32 shared word stream (leading dims = batch)
+    nwords: [...] int32, ptr: [...] int32 (one cursor per image)
+    state:  [..., K]; idx/n_valid as in decode_pass.
+    """
+    *batch, w_len = words.shape
+    k = state.shape[-1]
+    t_steps = idx.shape[-1] // k
+    assert t_steps * k == idx.shape[-1]
+    words_flat = words.reshape(-1)
+    img_base = (jnp.arange(int(np.prod(batch, dtype=np.int64)),
+                           dtype=jnp.int32).reshape(*batch) * w_len)
+
+    def pull_many(st, pt, pull):
+        """Conditionally pull one word per flagged lane from the shared
+        stream, lane-major (the phase order every writer of this format
+        follows). Past-end reads zero-fill; the cursor always advances."""
+        pc = pull.astype(jnp.int32)
+        offs = jnp.cumsum(pc, axis=-1) - pc  # exclusive, lane order
+        pos = pt[..., None] + offs
+        wd = _take(words_flat, img_base[..., None] + pos).astype(jnp.uint32)
+        wd = jnp.where(pos < nwords[..., None], wd, jnp.uint32(0))
+        st = jnp.where(pull, (st << 16) | wd, st)
+        return st, pt + jnp.sum(pc, axis=-1)
+
+    idx_steps = jnp.moveaxis(
+        idx.reshape(*batch, t_steps, k), len(batch), 0
+    )
+    valid_steps = jnp.broadcast_to(
+        (jnp.arange(t_steps * k, dtype=jnp.int32) < n_valid)
+        .reshape(t_steps, *([1] * len(batch)), k),
+        (t_steps, *batch, k),
+    )
+
+    def step(carry, inp):
+        state, ptr = carry
+        cdf_idx, valid = inp
+        cum = state & _MASK16
+        s = _take(tables.lut_flat,
+                  (cdf_idx << _PROB_BITS) | cum.astype(jnp.int32))
+        base = cdf_idx * tables.max_len
+        lo = _take(tables.cdf_flat, base + s).astype(jnp.uint32)
+        hi = _take(tables.cdf_flat, base + s + 1).astype(jnp.uint32)
+        adv = (hi - lo) * (state >> _PROB_BITS) + cum - lo
+        # fold the pad mask BEFORE the pull so invalid lanes neither pull
+        # nor move the shared cursor
+        state = jnp.where(valid, adv, state)
+        state, ptr = pull_many(state, ptr, valid & (state < _RANS_L))
+
+        max_value = _take(tables.lengths, cdf_idx) - 2
+        esc = valid & (s == max_value)
+
+        def esc_cond(c):
+            return jnp.any(c[0])
+
+        def esc_body(c):
+            active, z, shift, st, pt = c
+            bits = (st & jnp.uint32(0xF)).astype(jnp.int32)
+            st = jnp.where(active, st >> 4, st)
+            st, pt = pull_many(st, pt, active & (st < _RANS_L))
+            z = jnp.where(active, z | ((bits & 7) << shift), z)
+            shift2 = jnp.where(active, shift + 3, shift)
+            cont = active & ((bits & 8) != 0) & (shift2 <= 30)
+            return cont, z, shift2, st, pt
+
+        z0 = jnp.zeros_like(s)
+        sh0 = jnp.zeros_like(s)
+        _, z, _, state, ptr = jax.lax.while_loop(
+            esc_cond, esc_body, (esc, z0, sh0, state, ptr)
+        )
+        esc_v = jnp.where((z & 1) != 0, -(z >> 1) - 1, (z >> 1) + max_value)
+        v = jnp.where(esc, esc_v, s)
+        sym = v + _take(tables.offsets, cdf_idx)
+        return (state, ptr), jnp.where(valid, sym, 0)
+
+    (state, ptr), syms = jax.lax.scan(
+        step, (state, ptr), (idx_steps, valid_steps)
+    )
+    syms = jnp.moveaxis(syms, 0, len(batch)).reshape(*batch, t_steps * k)
+    return syms, (state, ptr)
+
+
+# ---------------------------------------------------------------------------
 # On-device (TPU) interleaved rANS ENCODING — the mirror of decode_pass.
 #
 # Motivation: the encode side of the multi-program codec pulls every pass's

@@ -127,6 +127,26 @@ class CompressionCodec:
         self.device_enc = bool(self.lanes) and (
             os.environ.get("RDEIC_RANS_DEVICE_ENC", "0") == "1"
         )
+        # v2 "shared-stream" containers are the default write format on the
+        # lanes path: one merged word stream (csrc rans_lanes_to_shared), no
+        # per-lane size table — ~4 B/lane of container overhead dropped.
+        # RDEIC_RANS_SHARED=0 reverts to v1. Decode accepts both (versioned
+        # header).
+        self.shared = os.environ.get("RDEIC_RANS_SHARED", "1") == "1"
+        # Adaptive lane count (round-4 verdict weak #3: fixed 128-lane flush
+        # is ~40% rate inflation at extreme-compression payloads): shrink K
+        # by powers of 2 until the residual lane overhead (~4K+4 B of state
+        # flush + tag) is under this percentage of the measured payload.
+        # 0 disables (always the configured K).
+        self.auto_lanes_pct = float(
+            os.environ.get("RDEIC_RANS_OVERHEAD_PCT", "2.0")
+        )
+        # Streams whose K lands below this decode on the HOST (shared-
+        # stream C++ decoder): at small K the device scan's serial length
+        # n/K dominates, while the host coder runs ~65 Msym/s regardless.
+        self.device_min_lanes = int(
+            os.environ.get("RDEIC_RANS_DEVICE_MIN_LANES", "32")
+        )
         scale_table = g.get_scale_table()
         self.scale_table = scale_table
         cdf, lengths, offsets = g.build_cdf_tables(scale_table)
@@ -425,6 +445,35 @@ class CompressionCodec:
         self._lane_init = jax.jit(init_lane_state)
 
         from rdeic_tpu.entropy.device_rans import (
+            decode_pass_shared,
+            init_shared_state,
+        )
+
+        def dev_decode_shared(cdf_flat, lut_flat, lengths, offsets, words,
+                              nwords, state, ptr, idx_u8):
+            class _T:
+                pass
+
+            t = _T()
+            t.cdf_flat, t.lut_flat = cdf_flat, lut_flat
+            t.lengths, t.offsets = lengths, offsets
+            t.max_len = self.table.max_len
+            b = idx_u8.shape[0]
+            n = int(np.prod(idx_u8.shape[1:]))
+            idx_flat = idx_u8.astype(jnp.int32).reshape(b, n)
+            pad = (-n) % k
+            if pad:
+                idx_flat = jnp.pad(idx_flat, ((0, 0), (0, pad)))
+            sym, (state, ptr) = decode_pass_shared(
+                t, words, nwords, state, ptr, idx_flat, n
+            )
+            sym = sym[:, :n].reshape(idx_u8.shape).astype(jnp.int16)
+            return sym, state, ptr
+
+        self._dev_decode_shared_jit = jax.jit(dev_decode_shared)
+        self._shared_init = jax.jit(partial(init_shared_state, k=k))
+
+        from rdeic_tpu.entropy.device_rans import (
             build_pass_steps,
             encode_lanes,
         )
@@ -459,41 +508,106 @@ class CompressionCodec:
             words, nwords, state, ptr, idx_u8,
         )
 
+    def _dev_decode_shared(self, words, nwords, state, ptr, idx_u8):
+        t = self._tabs
+        return self._dev_decode_shared_jit(
+            t.cdf_flat, t.lut_flat, t.lengths, t.offsets,
+            words, nwords, state, ptr, idx_u8,
+        )
+
+    # header versioning: v1 = [K, lane_nbytes x K]; v2 (shared stream) =
+    # [0x80000000 | K] only — the per-lane size table is gone, which IS
+    # the v2 rate win at K=128 (~516 B/stream).
+    _V2_TAG = 0x80000000
+
     @staticmethod
-    def _lane_header(lanes: int, lane_nbytes: np.ndarray) -> bytes:
+    def _lane_header(lanes: int, lane_nbytes) -> bytes:
+        if lane_nbytes is None:  # v2 shared stream
+            return np.asarray(
+                [CompressionCodec._V2_TAG | lanes], dtype="<u4"
+            ).tobytes()
         return np.concatenate(
             [[lanes], np.asarray(lane_nbytes, np.uint32)]
         ).astype("<u4").tobytes()
 
     @staticmethod
     def _parse_lane_header(hdr: bytes):
+        """-> (version, lanes, lane_nbytes-or-None)."""
         arr = np.frombuffer(hdr, "<u4")
-        k = int(arr[0])
-        return k, arr[1 : 1 + k].astype(np.int64)
+        tag = int(arr[0])
+        if tag & CompressionCodec._V2_TAG:
+            return 2, tag & ~CompressionCodec._V2_TAG, None
+        return 1, tag, arr[1 : 1 + tag].astype(np.int64)
 
     def _lane_container(self, payload: bytes, lane_nbytes, indices_np,
-                        img: int) -> dict:
+                        img: int, k: int | None = None) -> dict:
         return {
             "strings": [
                 [payload],
                 [pack_uniform(indices_np[img], self.model.codebook_size)],
-                [self._lane_header(self.lanes, lane_nbytes)],
+                [self._lane_header(
+                    self.lanes if k is None else k, lane_nbytes)],
             ],
             "shape": (indices_np.shape[1], indices_np.shape[2]),
         }
 
-    def _flush_interleaved(self, syms, idxs, indices_np, img: int) -> dict:
-        """Per-image container from the per-pass (sym, idx) pulls."""
-        from rdeic_tpu.entropy.coder import rans_encode_interleaved
+    def _pick_lanes(self, data_bytes: int) -> int:
+        """Largest power-of-two K <= configured lanes whose flush overhead
+        (~4K+4 B) stays under auto_lanes_pct of the data payload."""
+        if self.auto_lanes_pct <= 0:
+            return self.lanes
+        budget = data_bytes * self.auto_lanes_pct / 100.0
+        k = self.lanes
+        while k > 2 and 4 * k + 4 > budget:
+            k //= 2
+        return max(k, 2)
+
+    def _flush_interleaved(self, syms, idxs, indices_np, img: int,
+                           k_fixed: int | None = None) -> dict:
+        """Per-image container from the per-pass (sym, idx) pulls.
+
+        v2 (self.shared): encode at the configured K, size the payload,
+        then shrink K if the flush overhead breaches the rate budget
+        (batch callers pin k_fixed from image 0 so one compiled decode
+        shape serves the whole batch). Returns a v2 container; v1 when
+        RDEIC_RANS_SHARED=0."""
+        from rdeic_tpu.entropy.coder import (
+            rans_encode_interleaved,
+            rans_encode_interleaved_shared,
+            rans_lanes_to_shared,
+        )
 
         flat_s = [np.asarray(s[img]).reshape(-1) for s in syms]
         flat_i = [np.asarray(ix[img]).reshape(-1) for ix in idxs]
         pass_sizes = [s.shape[0] for s in flat_s]
+        cat_s = np.concatenate(flat_s)
+        cat_i = np.concatenate(flat_i)
+        if not self.shared:
+            payload, lane_nbytes = rans_encode_interleaved(
+                cat_s, cat_i, pass_sizes, self.lanes, self.table,
+            )
+            return self._lane_container(payload, lane_nbytes, indices_np,
+                                        img)
+        if k_fixed is not None and k_fixed != self.lanes:
+            shared_payload = rans_encode_interleaved_shared(
+                cat_s, cat_i, pass_sizes, k_fixed, self.table)
+            return self._lane_container(
+                shared_payload, None, indices_np, img, k=k_fixed)
         payload, lane_nbytes = rans_encode_interleaved(
-            np.concatenate(flat_s), np.concatenate(flat_i),
-            pass_sizes, self.lanes, self.table,
+            cat_s, cat_i, pass_sizes, self.lanes, self.table,
         )
-        return self._lane_container(payload, lane_nbytes, indices_np, img)
+        # data bytes ~= payload minus the per-lane flush (4 B state +
+        # ~2 B renorm-granularity tail per lane)
+        k = (k_fixed if k_fixed is not None
+             else self._pick_lanes(max(len(payload) - 6 * self.lanes, 0)))
+        if k == self.lanes:
+            shared_payload = rans_lanes_to_shared(
+                payload, lane_nbytes, cat_i, pass_sizes, self.table)
+        else:
+            shared_payload = rans_encode_interleaved_shared(
+                cat_s, cat_i, pass_sizes, k, self.table)
+        return self._lane_container(shared_payload, None, indices_np, img,
+                                    k=k)
 
     def _compress_device_enc(self, sym_list, idx_list, max_list, indices):
         """Device-side lane encode: pulls only (nwords, overflow, maxabs)
@@ -537,11 +651,12 @@ class CompressionCodec:
 
         mats = []
         for o in outs:
-            klanes, lane_nbytes = self._parse_lane_header(o["strings"][2][0])
-            if klanes != self.lanes:
+            ver, klanes, lane_nbytes = self._parse_lane_header(
+                o["strings"][2][0])
+            if ver != 1 or klanes != self.lanes:
                 raise ValueError(
-                    f"stream has {klanes} lanes, codec configured for "
-                    f"{self.lanes}"
+                    f"stream is v{ver} with {klanes} lanes, codec "
+                    f"configured for v1 x {self.lanes}"
                 )
             mats.append(lanes_from_bytes(o["strings"][0][0], lane_nbytes))
         wmax = max(m[0].shape[1] for m in mats)
@@ -557,9 +672,68 @@ class CompressionCodec:
             nwords[i] = nw
         return jnp.asarray(words), jnp.asarray(nwords)
 
+    def _shared_words(self, outs: list[dict]):
+        """Stack per-image v2 shared streams into [B, W] device words
+        (W bucket-padded to bound recompiles)."""
+        from rdeic_tpu.entropy.device_rans import shared_words_from_bytes
+
+        mats = []
+        for o in outs:
+            ver, klanes, _ = self._parse_lane_header(o["strings"][2][0])
+            if ver != 2 or klanes != self.lanes:
+                raise ValueError(
+                    f"stream is v{ver} with {klanes} lanes, codec "
+                    f"configured for v2 x {self.lanes}"
+                )
+            mats.append(shared_words_from_bytes(o["strings"][0][0]))
+        wmax = max(m[1] for m in mats)
+        wpad = 64
+        while wpad < wmax:
+            wpad *= 2
+        b = len(mats)
+        words = np.zeros((b, wpad), np.uint32)
+        nwords = np.zeros((b,), np.int32)
+        for i, (w, nw) in enumerate(mats):
+            words[i, : w.shape[0]] = w
+            nwords[i] = nw
+        return jnp.asarray(words), jnp.asarray(nwords)
+
+    def _decompress_shared_host(self, outs: list[dict], k: int):
+        """v2 streams below the device lane threshold: the pass programs
+        still run on device, but symbols decode on the HOST shared-stream
+        coder (csrc rans_shared_decode_pass) — at small K the device
+        scan's serial length n/K dominates while the host coder is
+        K-independent."""
+        from rdeic_tpu.entropy.coder import SharedRansDecoder
+
+        decs = [SharedRansDecoder(o["strings"][0][0], k) for o in outs]
+
+        def decode_rows(idx_np):
+            b = len(decs)
+            return np.stack(
+                [
+                    decs[i].decode_pass(
+                        idx_np[i].astype(np.int32), self.table
+                    ).reshape(idx_np[i].shape)
+                    for i in range(b)
+                ]
+            ).astype(np.int32)
+
+        try:
+            return self._decompress_multi_with(outs, decode_rows)
+        finally:
+            for d in decs:
+                d.close()
+
     def _decompress_interleaved(self, outs: list[dict]):
         """[B] interleaved streams -> (c_latent, guide_hint); the entire
-        chain is async device dataflow (no host pulls until the caller's)."""
+        chain is async device dataflow (no host pulls until the caller's).
+        Handles v1 (per-lane) and v2 (shared-stream) containers; v2
+        streams with K below device_min_lanes route to the host coder."""
+        ver, k, _ = self._parse_lane_header(outs[0]["strings"][2][0])
+        if ver == 2 and k < self.device_min_lanes:
+            return self._decompress_shared_host(outs, k)
+        self._ensure_lanes(k)
         params = self.params
         zh, zw = outs[0]["shape"]
         indices = np.stack(
@@ -571,8 +745,14 @@ class CompressionCodec:
             ]
         )
         hyper = self._hyper(params, jnp.asarray(indices))
-        words, nwords = self._lane_words_device(outs)
-        state, ptr = self._lane_init(words, nwords)
+        if ver == 2:
+            words, nwords = self._shared_words(outs)
+            state, ptr = self._shared_init(words, nwords)
+            dev_decode = self._dev_decode_shared
+        else:
+            words, nwords = self._lane_words_device(outs)
+            state, ptr = self._lane_init(words, nwords)
+            dev_decode = self._dev_decode
 
         y_hat_prev = None
         n = self.model.slice_num
@@ -580,14 +760,14 @@ class CompressionCodec:
             params, hyper=hyper, y_hat_prev=None
         )
         for i in range(n):
-            sym_a, state, ptr = self._dev_decode(
+            sym_a, state, ptr = dev_decode(
                 words, nwords, state, ptr, idx_a
             )
             anchor_half, means_na, idx_na = self._pass_b[i](
                 params, sym_a=sym_a, means_a_sq=means_a,
                 hyper=hyper, channel_ctx=channel_ctx,
             )
-            sym_na, state, ptr = self._dev_decode(
+            sym_na, state, ptr = dev_decode(
                 words, nwords, state, ptr, idx_na
             )
             if i < n - 1:
@@ -691,9 +871,17 @@ class CompressionCodec:
         idxs = pulled[1 + len(sym_list) : 1 + len(sym_list) + len(idx_list)]
         _check_sym_range(pulled[1 + len(sym_list) + len(idx_list) :])
         outs = []
+        k_fixed = None
         for img in range(b):
             if self.lanes:
-                outs.append(self._flush_interleaved(syms, idxs, indices_np, img))
+                out = self._flush_interleaved(
+                    syms, idxs, indices_np, img, k_fixed=k_fixed)
+                if self.shared and k_fixed is None:
+                    # pin image 0's adaptive K for the whole batch so the
+                    # batched decode compiles one shape
+                    _ver, k_fixed, _ = self._parse_lane_header(
+                        out["strings"][2][0])
+                outs.append(out)
                 continue
             enc = BufferedRansEncoder()
             for s, ix in zip(syms, idxs):
@@ -712,18 +900,7 @@ class CompressionCodec:
     def _decompress_batch_multi(self, outs: list[dict]):
         """Batched decode on the multi-program path: pass programs run on
         the [B, ...] batch; each image's rANS stream is decoded per slice."""
-        params = self.params
         b = len(outs)
-        zh, zw = outs[0]["shape"]
-        indices = np.stack(
-            [
-                unpack_uniform(
-                    o["strings"][1][0], zh * zw, self.model.codebook_size
-                ).reshape(zh, zw)
-                for o in outs
-            ]
-        )
-        hyper = self._hyper(params, jnp.asarray(indices))
         decs = []
         for o in outs:
             d = RansDecoder()
@@ -739,6 +916,28 @@ class CompressionCodec:
                     for i in range(b)
                 ]
             ).astype(np.int32)
+
+        try:
+            return self._decompress_multi_with(outs, decode_rows)
+        finally:
+            for d in decs:
+                d.close()
+
+    def _decompress_multi_with(self, outs: list[dict], decode_rows):
+        """The host-interactive decode chain, parameterized over the
+        symbol source (legacy per-image streams or the v2 shared-stream
+        coder): pass programs on device, decode_rows(idx_np) on host."""
+        params = self.params
+        zh, zw = outs[0]["shape"]
+        indices = np.stack(
+            [
+                unpack_uniform(
+                    o["strings"][1][0], zh * zw, self.model.codebook_size
+                ).reshape(zh, zw)
+                for o in outs
+            ]
+        )
+        hyper = self._hyper(params, jnp.asarray(indices))
 
         y_hat_prev = None
         n = self.model.slice_num
@@ -763,15 +962,11 @@ class CompressionCodec:
                     params, sym_na=_sym_i16(sym_na), means_na_sq=means_na,
                     anchor_half=anchor_half, y_hat_prev=y_hat_prev,
                 )
-        for d in decs:
-            d.close()
         return out
 
     def decompress_batch(self, outs: list[dict]):
         """list of per-image {strings, shape} -> (c_latent [B..], guide_hint)."""
         if outs and len(outs[0]["strings"]) > 2:
-            k, _ = self._parse_lane_header(outs[0]["strings"][2][0])
-            self._ensure_lanes(k)
             return self._decompress_interleaved(outs)
         if not self.fused:
             return self._decompress_batch_multi(outs)
@@ -905,8 +1100,6 @@ class CompressionCodec:
         Mirrors Compression.decompress (compression.py:215-273).
         """
         if len(strings) > 2:  # interleaved-lane stream: on-device decode
-            k, _ = self._parse_lane_header(strings[2][0])
-            self._ensure_lanes(k)
             return self._decompress_interleaved(
                 [{"strings": strings, "shape": shape}]
             )

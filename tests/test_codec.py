@@ -205,10 +205,43 @@ def test_interleaved_corrupt_stream_safe(codec):
     assert np.all(np.isfinite(np.asarray(c)))
 
 
+def test_v2_shared_container_roundtrip(codec, monkeypatch):
+    """Default lane containers are v2 shared-stream: one merged payload,
+    4-byte header (no per-lane size table), adaptive K from the payload
+    size; decode auto-routes (host coder below device_min_lanes) and
+    reproduces the v1 content bit-exactly."""
+    x = jax.random.normal(jax.random.PRNGKey(57), (2, 8, 8, 8)) * 2.0
+    il = CompressionCodec(codec.model, codec.params, lanes=4)
+    assert il.shared
+    outs = il.compress_batch(x)
+    ver, k, sizes = il._parse_lane_header(outs[0]["strings"][2][0])
+    assert ver == 2 and sizes is None
+    assert len(outs[0]["strings"][2][0]) == 4
+    assert 2 <= k <= 4
+    # v2 payload must be strictly smaller than the v1 container
+    # (payload + size table) for the same content
+    monkeypatch.setenv("RDEIC_RANS_SHARED", "0")
+    v1 = CompressionCodec(codec.model, codec.params, lanes=4)
+    o1 = v1.compress_batch(x)
+    monkeypatch.delenv("RDEIC_RANS_SHARED")
+    for a, b in zip(outs, o1):
+        v2_total = len(a["strings"][0][0]) + len(a["strings"][2][0])
+        v1_total = len(b["strings"][0][0]) + len(b["strings"][2][0])
+        assert v2_total < v1_total
+    # decode matches the v1 decode of the same images
+    c2, g2 = il.decompress_batch(outs)
+    c1, g1 = v1.decompress_batch(o1)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(g1))
+
+
 def test_device_enc_matches_host_enc(codec, monkeypatch):
-    """The device-side lane encoder (default) must emit byte-identical
-    containers to the host rans_encode_interleaved fallback path."""
+    """The device-side lane encoder must emit byte-identical containers to
+    the host rans_encode_interleaved fallback path (both pinned to the v1
+    per-lane format — the device encoder keeps symbols on device, so the
+    v2 merge's index replay is a host-side step it skips by design)."""
     x = jax.random.normal(jax.random.PRNGKey(41), (2, 8, 8, 8)) * 2.0
+    monkeypatch.setenv("RDEIC_RANS_SHARED", "0")
     monkeypatch.setenv("RDEIC_RANS_DEVICE_ENC", "1")
     dev = CompressionCodec(codec.model, codec.params, lanes=4)
     assert dev.device_enc
