@@ -145,28 +145,34 @@ def main():
     # decode-scan MFU) ride along in the same JSON line so driver captures
     # stop losing them to stderr-only prose (round-4 verdict #4)
     extras: dict[str, float] = {}
+    import threading as _thr
+
     _emitted = {"done": False}
+    _emit_lock = _thr.Lock()
 
     def emit(interrupted: bool = False):
-        if _emitted["done"]:
-            return
-        _emitted["done"] = True
-        # value stays null (never a -1 sentinel) when no stage finished, so
-        # parsers cannot ingest a fake negative latency (advisor round 4)
-        value = round(float(min(stage_ms)), 2) if stage_ms else None
-        row = {
-            "metric": metric,
-            "value": value,
-            "unit": "ms/image",
-            "vs_baseline": None,
-            "backend": backend_stamp,
-            **{k: round(v, 2) for k, v in extras.items()},
-        }
-        if interrupted or not stage_ms:
-            row["partial"] = True
-        if interrupted:
-            row["interrupted"] = True
-        print(json.dumps(row), flush=True)
+        # lock: the watchdog thread may race the main thread here; exactly
+        # one JSON line must ever be printed
+        with _emit_lock:
+            if _emitted["done"]:
+                return
+            _emitted["done"] = True
+            # value stays null (never a -1 sentinel) when no stage finished,
+            # so parsers cannot ingest a fake negative latency (advisor r4)
+            value = round(float(min(stage_ms)), 2) if stage_ms else None
+            row = {
+                "metric": metric,
+                "value": value,
+                "unit": "ms/image",
+                "vs_baseline": None,
+                "backend": backend_stamp,
+                **{k: round(v, 2) for k, v in extras.items()},
+            }
+            if interrupted or not stage_ms:
+                row["partial"] = True
+            if interrupted:
+                row["interrupted"] = True
+            print(json.dumps(row), flush=True)
 
     def _on_term(sig, frm):
         log(f"signal {sig}: emitting best-so-far result and exiting")
@@ -180,6 +186,30 @@ def main():
             signal.signal(_sig, _on_term)
         except Exception:
             pass
+
+    # Hard watchdog: the budget checks below only run BETWEEN stages. If the
+    # tunnel wedges mid-stage (observed: a bench process blocked >9 h inside
+    # a device call after the probe passed), no budget check ever fires and
+    # the driver gets no output. A daemon thread force-emits the best-so-far
+    # line and exits once the budget (plus grace for the in-flight emit) is
+    # exhausted, no matter where the main thread is stuck.
+    def _watchdog():
+        deadline = t_start + budget_s + 120.0
+        while True:
+            left = deadline - time.time()
+            if left <= 0:
+                break
+            time.sleep(min(left, 30.0))
+        if not _emitted["done"]:
+            log(f"watchdog: budget {budget_s:.0f}s (+120s grace) exhausted "
+                "mid-stage — emitting best-so-far and exiting")
+            emit(interrupted=True)
+            _osb._exit(3)
+
+    # RDEIC_BENCH_WATCHDOG=0 disables it for in-process (runpy/pytest)
+    # runs, where _exit would take the host process down with it
+    if _osb.environ.get("RDEIC_BENCH_WATCHDOG", "1") != "0":
+        _thr.Thread(target=_watchdog, daemon=True).start()
 
     def remaining() -> float:
         return budget_s - (time.time() - t_start)

@@ -32,6 +32,8 @@ def test_forced_fallback_stamps_backend(monkeypatch, capfd):
     # scope them to this test so they never leak into later in-process
     # CLI smoke runs
     monkeypatch.setenv("RDEIC_RANS_LANES", "0")
+    # in-process run: the watchdog's _exit would take pytest down
+    monkeypatch.setenv("RDEIC_BENCH_WATCHDOG", "0")
     old = sys.argv
     try:
         sys.argv = ["bench.py"]
@@ -95,6 +97,7 @@ def test_budget_exhausted_still_emits(monkeypatch, capfd):
     monkeypatch.delenv("RDEIC_BENCH_SKIP_PROBE", raising=False)
     monkeypatch.setenv("RDEIC_RANS_LANES", "0")
     monkeypatch.setenv("RDEIC_BENCH_BUDGET_S", "0")
+    monkeypatch.setenv("RDEIC_BENCH_WATCHDOG", "0")
     old = sys.argv
     try:
         sys.argv = ["bench.py"]
@@ -105,3 +108,32 @@ def test_budget_exhausted_still_emits(monkeypatch, capfd):
     rec = json.loads(cap.out.strip().splitlines()[-1])
     assert rec["value"] > 0
     assert "skipping batched" in cap.err
+
+
+def test_watchdog_force_emits_when_wedged():
+    """The hard watchdog must emit a (partial, interrupted) line and exit 3
+    even when the budget is exhausted mid-stage — the observed failure mode
+    is a bench process blocked >9 h inside a tunnel device call with no
+    output for the driver. A negative budget makes the deadline already
+    passed when the watchdog starts, standing in for a wedged stage."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.update({
+        "RDEIC_BENCH_FORCE_CPU": "1",
+        "RDEIC_RANS_LANES": "0",
+        "RDEIC_BENCH_BUDGET_S": "-200",
+    })
+    env.pop("RDEIC_BENCH_SKIP_PROBE", None)
+    env.pop("RDEIC_BENCH_WATCHDOG", None)
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, timeout=600, env=env, cwd=str(REPO),
+    )
+    assert proc.returncode == 3
+    rec = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+    assert rec["partial"] is True
+    assert rec["interrupted"] is True
+    assert rec["value"] is None or rec["value"] > 0
+    assert b"watchdog" in proc.stderr
