@@ -90,6 +90,10 @@ def main():
                     choices=["dots"],
                     help="selective remat: save matmul/conv outputs, "
                     "recompute elementwise only")
+    ap.add_argument("--scan_remat", action="store_true",
+                    help="refine only: checkpoint each sampler-scan step "
+                    "(backward re-runs each step's UNet forward; holds one "
+                    "step's activations instead of fixed_step sets)")
     ap.add_argument("--frozen_bf16", action="store_true",
                     help="store the frozen SD subtree bf16 (halves its HBM "
                     "reads per step; trainables/optimizer stay fp32)")
@@ -105,6 +109,8 @@ def main():
     cfg = load_yaml(args.config)
     if args.refine:
         cfg["params"]["is_refine"] = True
+    if args.scan_remat:
+        cfg["params"]["scan_remat"] = True
     if args.no_remat:
         for key in ("control_stage_config", "unet_config"):
             cfg["params"].setdefault(key, {}).setdefault("params", {})[

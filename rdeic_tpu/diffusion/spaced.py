@@ -79,6 +79,7 @@ def sample(
     uncond_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
     guidance_scale: float = 1.0,
     cond_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
+    remat_steps: bool = False,
 ) -> jnp.ndarray:
     """Run the relay spaced sampling loop from x_T (already q_sampled).
 
@@ -86,6 +87,11 @@ def sample(
     cond_fn(pred_x0, t) -> delta implements latent-space classifier guidance
     (parity: spaced_sampler_relay.py:292-347 — the delta shifts pred_x0 and
     adds 0.5*delta to the posterior mean).
+    remat_steps=True checkpoints each scan step: the backward pass saves
+    only the inter-step carries and re-runs each step's UNet forward,
+    trading one extra forward per step for not holding `num_steps` sets of
+    UNet activations at once (the refine-phase memory axis the module-level
+    remat knobs cannot reach).
     """
     b = x_T.shape[0]
 
@@ -106,5 +112,6 @@ def sample(
         x = mean + per.nonzero * per.sqrt_model_var * noise
         return (x, rng), None
 
-    (x, _), _ = jax.lax.scan(step, (x_T, rng), coeffs)
+    body = jax.checkpoint(step) if remat_steps else step
+    (x, _), _ = jax.lax.scan(body, (x_T, rng), coeffs)
     return x

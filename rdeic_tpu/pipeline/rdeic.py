@@ -60,6 +60,7 @@ class RDEIC:
         sd_locked: bool = True,
         is_refine: bool = False,
         fixed_step: int = 2,
+        scan_remat: bool = False,
         learning_rate: float = 2e-5,
         l_bpp_weight: float = 1.0,
         l_guide_weight: float = 2.0,
@@ -88,6 +89,10 @@ class RDEIC:
         )
         self.used_timesteps = used_timesteps
         self.fixed_step = fixed_step
+        # per-step remat of the refine-phase sampler scan (spaced.sample
+        # remat_steps): backward holds one step's UNet activations instead
+        # of fixed_step sets — sweep axis for the refine recipe
+        self.scan_remat = scan_remat
         self.is_refine = is_refine
         self.sd_locked = sd_locked
         self.learning_rate = learning_rate
@@ -371,7 +376,9 @@ class RDEIC:
                 params, x, tt, cond["c_crossattn"], cond["guide_hint"]
             )
 
-        samples = spaced_lib.sample(denoise, x_T, rng_sample, coeffs)
+        samples = spaced_lib.sample(
+            denoise, x_T, rng_sample, coeffs, remat_steps=self.scan_remat
+        )
         decoded = self.decode_first_stage(params, samples)
         target = cond["target"]
 

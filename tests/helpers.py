@@ -2,7 +2,7 @@
 from rdeic_tpu.pipeline.rdeic import RDEIC
 
 
-def micro_rdeic(is_refine: bool = False) -> RDEIC:
+def micro_rdeic(is_refine: bool = False, **overrides) -> RDEIC:
     """A tiny but structurally complete RDEIC instance.
 
     32x32 images, /2 VAE (latent 16x16, feature 16ch), 2-slice compression,
@@ -33,6 +33,7 @@ def micro_rdeic(is_refine: bool = False) -> RDEIC:
         ),
         is_refine=is_refine,
         fixed_step=2,
+        **overrides,
         used_timesteps=300,
         timesteps=1000,
     )
