@@ -41,6 +41,12 @@ SHAPES = [
     ("ctrl64 64->64", (8, 64, 64, 64), 64, True),
     ("ctrl32 128->128", (8, 32, 32, 128), 128, True),
     ("ctrl16 256->256", (8, 16, 16, 256), 256, True),
+    # the heaviest buckets of the ACTUAL train-step conv inventory
+    # (tools/conv_inventory.py): compression/hyper stacks at 64x64 and
+    # the UNet's wgrad-adjacent mid widths
+    ("comp64 256->256", (8, 64, 64, 256), 256, True),
+    ("comp64 512->512", (8, 64, 64, 512), 512, True),
+    ("comp32 256->256", (8, 32, 32, 256), 256, True),
     ("vae512 128->128", (8, 512, 512, 128), 128, False),
     ("vae256 256->256", (8, 256, 256, 256), 256, False),
     ("vae128 512->512", (8, 128, 128, 512), 512, False),
@@ -53,14 +59,36 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _sync(x):
+    # Hard device sync: through the axon tunnel, block_until_ready can
+    # return EARLY on the first timed executable of a fresh process
+    # (observed: a 16-conv chain "measured" 29 us until a value pull
+    # forced real sync; outputs were verified byte-identical, it is
+    # purely a completion-signal race). A scalar device_get round-trip
+    # is the only reliable barrier.
+    return float(jax.device_get(jnp.sum(x.astype(jnp.float32))))
+
+
 def time_call(fn, args, iters):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # Chain each iteration's (first) output into the next call so
+    # sequential device execution is forced and identical dispatches
+    # cannot be deduped.
+    x, rest = args[0], args[1:]
+    first = lambda o: o[0] if isinstance(o, tuple) else o
+    for _ in range(2):
+        x = first(fn(x, *rest))
+    _sync(x)
+    # measure the sync pull itself (~1 RTT + a small reduce) to subtract
+    t0 = time.time()
+    _sync(x)
+    t_pull = time.time() - t0
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters * 1000.0 / _DEPTH
+        x = first(fn(x, *rest))
+    jax.block_until_ready(x)
+    _sync(x)
+    dt = time.time() - t0 - t_pull
+    return dt / iters * 1000.0 / _DEPTH
 
 
 def main():
