@@ -56,6 +56,18 @@ def _sub_jaxprs(eqn):
         for b in p["branches"]:
             yield b.jaxpr, 1
         return
+    if name == "pallas_call":
+        # kernel jaxpr runs once per grid step; its dots are the flash-
+        # attention MXU work (ops/flash_attention.py)
+        gm = p.get("grid_mapping")
+        n = 1
+        try:
+            for g in getattr(gm, "grid", ()):
+                n *= int(g)
+        except (TypeError, ValueError):
+            n = 1
+        yield p["jaxpr"], n
+        return
     for v in p.values():
         if hasattr(v, "jaxpr") and hasattr(v, "consts"):  # ClosedJaxpr
             yield v.jaxpr, 1
@@ -77,7 +89,22 @@ def conv_flops(eqn):
     return 2 * out.size * k_spatial * (cin // fg)
 
 
-def walk(jaxpr, mult, tally, flags):
+def dot_flops(eqn):
+    lhs = eqn.invars[0].aval
+    rhs = eqn.invars[1].aval
+    (cl, cr), (bl, _br) = eqn.params["dimension_numbers"]
+    k = 1
+    for d in cl:
+        k *= lhs.shape[d]
+    b = 1
+    for d in bl:
+        b *= lhs.shape[d]
+    m = lhs.size // (k * b)
+    n = rhs.size // (k * b)
+    return 2 * b * m * n * k
+
+
+def walk(jaxpr, mult, tally, dots, flags):
     for eqn in jaxpr.eqns:
         if eqn.primitive.name == "conv_general_dilated":
             lhs = tuple(eqn.invars[0].aval.shape)
@@ -87,10 +114,16 @@ def walk(jaxpr, mult, tally, flags):
             key = (lhs, rhs, out, dt)
             tally[key]["count"] += mult
             tally[key]["flops"] += mult * conv_flops(eqn)
+        elif eqn.primitive.name == "dot_general":
+            lhs = tuple(eqn.invars[0].aval.shape)
+            rhs = tuple(eqn.invars[1].aval.shape)
+            key = (lhs, rhs)
+            dots[key]["count"] += mult
+            dots[key]["flops"] += mult * dot_flops(eqn)
         elif eqn.primitive.name == "while":
             flags.add("while-loop seen: its convs tallied x1")
         for sub, n in _sub_jaxprs(eqn):
-            walk(sub, mult * n, tally, flags)
+            walk(sub, mult * n, tally, dots, flags)
 
 
 def main():
@@ -100,7 +133,15 @@ def main():
     ap.add_argument("--refine", action="store_true")
     ap.add_argument("--config", type=str, default="configs/model/rdeic.yaml")
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--assume_tpu", action="store_true",
+                    help="trace the TPU program shape: dispatch attention "
+                    "to the Pallas flash kernel (as the real TPU step "
+                    "does) even though this trace runs on CPU")
     args = ap.parse_args()
+
+    if args.assume_tpu:
+        import rdeic_tpu.ops.attention as _attn
+        _attn.on_tpu = lambda: True
 
     from rdeic_tpu.registry import instantiate_from_config, load_yaml
     from rdeic_tpu.train.trainer import Trainer
@@ -135,8 +176,9 @@ def main():
     jaxpr = jax.make_jaxpr(step)(state_abs, img)
 
     tally = defaultdict(lambda: {"count": 0, "flops": 0})
+    dots = defaultdict(lambda: {"count": 0, "flops": 0})
     flags = set()
-    walk(jaxpr.jaxpr, 1, tally, flags)
+    walk(jaxpr.jaxpr, 1, tally, dots, flags)
 
     rows = []
     for (lhs, rhs, out, dt), v in sorted(
@@ -147,6 +189,14 @@ def main():
             "dtype": dt, "count": v["count"],
             "gflops_total": round(v["flops"] / 1e9, 1),
         })
+    dot_rows = []
+    for (lhs, rhs), v in sorted(
+        dots.items(), key=lambda kv: -kv[1]["flops"]
+    )[:40]:
+        dot_rows.append({
+            "lhs": list(lhs), "rhs": list(rhs), "count": v["count"],
+            "gflops_total": round(v["flops"] / 1e9, 1),
+        })
     total_tf = sum(v["flops"] for v in tally.values()) / 1e12
     n_convs = sum(v["count"] for v in tally.values())
     result = {
@@ -154,8 +204,12 @@ def main():
         "batch": args.batch, "size": args.size,
         "n_conv_dispatches": n_convs,
         "conv_tflops_per_step": round(total_tf, 3),
+        "n_dot_dispatches": sum(v["count"] for v in dots.values()),
+        "dot_tflops_per_step": round(
+            sum(v["flops"] for v in dots.values()) / 1e12, 3),
         "flags": sorted(flags),
         "buckets": rows,
+        "dot_buckets_top40": dot_rows,
     }
     print(json.dumps(result, indent=1))
     if args.out:
