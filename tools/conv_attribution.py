@@ -67,6 +67,15 @@ def main():
     ap.add_argument("--step_ms", type=float, default=None,
                     help="measured median step ms (same session) to "
                     "compute the non-conv residual")
+    ap.add_argument("--attn", type=str, default=None,
+                    help="tools/attn_bench.py JSON: measured attention "
+                    "ms/step (flash + sdp), subtracted from the residual")
+    ap.add_argument("--dots_tflops", type=float, default=None,
+                    help="total non-attention dot_general TFLOP/step "
+                    "(inventory dot total minus flash-kernel dots)")
+    ap.add_argument("--dots_rate", type=float, default=145.0,
+                    help="assumed TFLOP/s for projection/dense dots "
+                    "(MXU-friendly shapes; conv_bench's wide-conv rate)")
     args = ap.parse_args()
 
     inv = json.load(open(args.inventory))
@@ -107,6 +116,21 @@ def main():
               f"conv at per-shape roofline would be {total_roof:.0f} ms "
               f"(conv-shape inefficiency costs "
               f"{total_est-total_roof:.0f} ms/step)")
+        residual = args.step_ms - total_est
+        if args.attn:
+            attn = json.load(open(args.attn))
+            attn_ms = attn["attn_fwdbwd_ms_per_step"]
+            residual -= attn_ms
+            print(f"attention (measured, attn_bench): {attn_ms:.1f} ms")
+        if args.dots_tflops:
+            dots_ms = args.dots_tflops / args.dots_rate * 1e3
+            residual -= dots_ms
+            print(f"non-attn dots ({args.dots_tflops:.2f}T @ "
+                  f"{args.dots_rate:.0f} TF/s assumed): {dots_ms:.1f} ms")
+        if args.attn or args.dots_tflops:
+            print(f"unattributed (elementwise/GN/optimizer/codec/gaps): "
+                  f"~{residual:.0f} ms "
+                  f"({100*residual/args.step_ms:.0f}%)")
 
 
 if __name__ == "__main__":
