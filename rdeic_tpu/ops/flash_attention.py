@@ -126,6 +126,15 @@ def _flash_fwd(q, k, v):
     return out, (q, k, v, out, lse)
 
 
+def _best_bwd_blocks(q):
+    """Backward (block_q, block_k), env-overridable for sweeps
+    (RDEIC_FLASH_BWD_BQ / RDEIC_FLASH_BWD_BK). Defaults from the round-5
+    bwd sweep at 8x4096 d64/d16 (tools/flash_bwd_sweep.py)."""
+    bq = int(os.environ.get("RDEIC_FLASH_BWD_BQ", "0"))
+    bk = int(os.environ.get("RDEIC_FLASH_BWD_BK", "0"))
+    return {"block_q": bq or 512, "block_k": bk or 512}
+
+
 def _flash_bwd(res, g):
     q, k, v, out, lse = res
     if os.environ.get("RDEIC_FLASH_XLA_BWD") == "1":
@@ -133,7 +142,7 @@ def _flash_bwd(res, g):
 
         _, vjp = jax.vjp(sdp_attention, q, k, v)
         return vjp(g)
-    return _flash_backward(q, k, v, out, lse, g)
+    return _flash_backward(q, k, v, out, lse, g, **_best_bwd_blocks(q))
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
