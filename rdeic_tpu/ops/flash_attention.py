@@ -128,11 +128,22 @@ def _flash_fwd(q, k, v):
 
 def _best_bwd_blocks(q):
     """Backward (block_q, block_k), env-overridable for sweeps
-    (RDEIC_FLASH_BWD_BQ / RDEIC_FLASH_BWD_BK). Defaults from the round-5
-    bwd sweep at 8x4096 d64/d16 (tools/flash_bwd_sweep.py)."""
+    (RDEIC_FLASH_BWD_BQ / RDEIC_FLASH_BWD_BK).
+
+    Defaults from the round-5 bwd sweep (tools/flash_bwd_sweep_fast.py,
+    v5e, fwd+bwd ms at B=8 seq=4096): d64 — 512/512 15.28, 1024/512
+    15.10 (best), 512/1024 17.11; d16 — 512/512 13.67, 512/1024 11.62
+    (best, -15%), 1024/512 11.87. Narrow heads want deeper k-blocks (the
+    dq/dkv dots are output/contraction-lane starved at d=16, so fewer,
+    larger k-tiles amortize the grid); d64 is VMEM-happier with the
+    taller q-block. Blocks are clamped to seq (the kernel pads L up to
+    the block otherwise)."""
     bq = int(os.environ.get("RDEIC_FLASH_BWD_BQ", "0"))
     bk = int(os.environ.get("RDEIC_FLASH_BWD_BK", "0"))
-    return {"block_q": bq or 512, "block_k": bk or 512}
+    lq, d = q.shape[1], q.shape[3]
+    if not (bq and bk):
+        bq, bk = (512, 1024) if d < 64 else (1024, 512)
+    return {"block_q": min(bq, lq), "block_k": min(bk, lq)}
 
 
 def _flash_bwd(res, g):
